@@ -1,0 +1,103 @@
+"""Total-order sort operators — the reference's entire query surface.
+
+The reference implements one operator three ways: drain a Kafka topic,
+two-phase external merge sort by one key, stream out in order
+(``/root/reference/internal/sort/external_sort.go:69-201`` run generation,
+``:295-363`` k-way heap merge; dispatched per key at
+``cmd/sorter/main.go:18-72``). In Spark the same algorithm IS ``orderBy``:
+a sampled RangePartitioning exchange followed by per-partition external
+sorts (spill + merge inside ``UnsafeExternalSorter``) — i.e. the
+distributed generalization the reference's own README names as future work
+(``README.md:652-656``).
+
+Scale notes:
+* ``orderBy`` range-samples keys first, so skewed key distributions still
+  yield balanced ranges; no salting needed for a global sort.
+* Sort-key expressions are evaluated once into radix-sortable UnsafeRow
+  prefixes — the reference's hand-rolled key precompute
+  (``external_sort.go:24-28,115-130``, its claimed 30-40% win) is free.
+* Output order is preserved per output partition; partition i holds keys
+  strictly below partition i+1, so the global order is recoverable by
+  (partition_id, offset) — see :func:`with_global_position` for an explicit
+  materialization when a sink (like a multi-partition Kafka topic) cannot
+  carry order, the one semantic the reference's single-threaded merge got
+  for free (SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def global_sort(df: DataFrame, *keys: str, ascending: bool = True) -> DataFrame:
+    """SELECT * FROM df ORDER BY keys — ≙ ``ExternalSort``
+    (external_sort.go:69-201) with Spark picking run sizes and merge fan-in."""
+    cols = [F.col(k).asc() if ascending else F.col(k).desc() for k in keys]
+    return df.orderBy(*cols)
+
+
+def sort_with_tiebreak(df: DataFrame, key: str, tiebreak: str) -> DataFrame:
+    """Low-cardinality-key sort with a deterministic tie-break.
+
+    The reference's continent sort (6 distinct values over 50M rows) leaves
+    ties in arbitrary order (``sort.Slice`` is unstable, external_sort.go:137-148;
+    heap pop order among equal keys is arbitrary). For oracle-checkable
+    determinism we append a unique tie-break column — a semantics superset.
+    """
+    return df.orderBy(F.col(key).asc(), F.col(tiebreak).asc())
+
+
+def topk(df: DataFrame, k: int, *keys: str, ascending: bool = False) -> DataFrame:
+    """ORDER BY ... LIMIT k. Spark plans this as TakeOrderedAndProject —
+    a per-partition top-k plus a driver-side merge of k-row heads, never a
+    full global sort; at 100 TB this reads everything but shuffles only
+    num_partitions × k rows. (The reference's validator samples a 1000-row
+    prefix of the sorted topic — scripts/test_validation.sh:16 — which is
+    this operator done by hand.)"""
+    cols = [F.col(c).asc() if ascending else F.col(c).desc() for c in keys]
+    return df.orderBy(*cols).limit(k)
+
+
+def keyed_fanout(df: DataFrame, key_specs: dict[str, list[str]]) -> dict[str, DataFrame]:
+    """One source, N independently sorted outputs — ≙ the reference's three
+    sorter jobs over one topic (``scripts/run.sh:33-35`` runs them
+    sequentially so each sees all data; ``cmd/sorter/main.go:42-46`` maps
+    key → output topic).
+
+    Returns {output_name: sorted DataFrame}. Callers should ``.cache()`` or
+    checkpoint ``df`` before fanning out so the source is scanned once —
+    the reference instead re-reads the whole topic per sorter (3× input I/O),
+    which we deliberately do NOT reproduce.
+    """
+    return {name: df.orderBy(*[F.col(k).asc() for k in keys]) for name, keys in key_specs.items()}
+
+
+def with_global_position(df: DataFrame, *keys: str) -> DataFrame:
+    """Attach the explicit global rank (1-based) under ORDER BY keys.
+
+    This materializes the total order as data, the pattern for sinks that
+    cannot preserve order (e.g. a multi-partition Kafka topic, where even
+    the reference's ordered publish is only reconstructible per partition
+    offset — SURVEY.md §3.1 step 5). Implemented shuffle-lean: a window
+    over *no* partition would serialize; instead we range-partition (which
+    ``orderBy`` already does), take per-partition row_numbers, and add each
+    partition's cumulative offset via a tiny driver-side prefix sum over
+    partition counts (num_partitions values, not rows).
+    """
+    ordered = df.orderBy(*[F.col(k).asc() for k in keys])
+    part = F.spark_partition_id()
+    w = Window.partitionBy(part).orderBy(*[F.col(k).asc() for k in keys])
+    with_local = ordered.withColumn("_local_rn", F.row_number().over(w)).withColumn("_pid", part)
+    counts = with_local.groupBy("_pid").count().orderBy("_pid").collect()
+    offsets = {}
+    acc = 0
+    for row in counts:
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    offset_col = F.create_map(*[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))])
+    return (
+        with_local.withColumn("global_pos", F.col("_local_rn") + offset_col[F.col("_pid")])
+        .drop("_local_rn", "_pid")
+    )

@@ -1,0 +1,50 @@
+"""Parquet fixture source.
+
+The reference's only source is a Kafka topic drained to EOF
+(``/root/reference/internal/sort/external_sort.go:95-113``); the driver's
+fixtures re-home that data model in parquet (TESTDATA.md). Parquet is
+self-describing, so we do NOT pass a schema to ``spark.read`` (Catalyst
+reads the footer; passing a mismatched schema would defeat pushdown) — but
+we assert the footer matches the declared StructType in tests, keeping the
+"fixed, explicit schema" property of the reference (SURVEY.md §1.2).
+
+Scan-side scale posture: columnar parquet + Catalyst column pruning +
+predicate pushdown mean a 100 TB table is read only in the columns and row
+groups a query touches. Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_stream_sorter_spark.schemas import TABLE_NAMES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # events.ts is TIMESTAMP(NANOS) in the fixture parquet; Spark reads it
+    # as long (spark.sql.legacy.parquet.nanosAsLong). Convert to a micros
+    # timestamp — the same ns→µs truncation DuckDB applies — so downstream
+    # window/watermark operators see a real TimestampType.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        # integer div — float division would lose ns precision at 2^60 scale
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register each fixture table as a temp view for the SQL API."""
+    for name in names or TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

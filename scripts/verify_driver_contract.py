@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Driver-replica harness: exercises /root/repo/__spark_entry__.py exactly
+the way the round driver does — entry() smoke at sf0.001, then every
+queries() entry at sf0.01 compared against oracle_sql() via DuckDB
+(row count + schema + order-insensitive values). Run from anywhere:
+
+    python /root/repo/scripts/verify_driver_contract.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def main() -> int:
+    from kafka_stream_sorter_spark.session import get_spark
+
+    sys.path.insert(0, "/root/repo/tests")
+    from oracle_utils import compare_frames, duck_connect
+
+    spark = get_spark("verify-driver-contract")
+    mod = importlib.import_module("__spark_entry__")
+
+    t0 = time.time()
+    n = mod.entry(spark).count()
+    print(f"entry(spark): {n} rows in {time.time()-t0:.1f}s -> {'OK' if n > 0 else 'FAIL'}")
+    if n <= 0:
+        return 1
+
+    qs, oracles = mod.queries(), mod.oracle_sql()
+    print(f"{len(qs)} queries, {len(oracles)} with oracles, sf_dir={SF}")
+    con = duck_connect(SF)
+    failures = []
+    for name in sorted(qs):
+        t0 = time.time()
+        try:
+            spark_pdf = qs[name](spark, SF).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"  {name:28s} SPARK ERROR: {e}")
+            continue
+        if name not in oracles:
+            status = f"rows-only: {len(spark_pdf)} rows"
+            if len(spark_pdf) == 0:
+                failures.append(name)
+                status += " (EMPTY!)"
+            print(f"  {name:28s} {status}  [{time.time()-t0:.1f}s]")
+            continue
+        duck_pdf = con.execute(oracles[name]).fetchdf()
+        problems = compare_frames(spark_pdf, duck_pdf)
+        if problems:
+            failures.append(name)
+            print(f"  {name:28s} MISMATCH: {'; '.join(problems)}")
+        else:
+            print(f"  {name:28s} match ({len(spark_pdf)} rows)  [{time.time()-t0:.1f}s]")
+    con.close()
+    print(f"\n{'FAIL: ' + ', '.join(failures) if failures else 'ALL MATCH'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,79 @@
+"""Local replica of the driver's DuckDB-oracle gate (t2), runnable at any sf.
+
+Registers the fixture parquet files as DuckDB views, runs the oracle SQL,
+and compares against the Spark result order-insensitively: columns sorted
+by name, rows sorted, exact equality for non-floats, tight tolerance for
+floats (the real driver hashes values, so any FP drift we see here must be
+eliminated at the query level by rounding on both sides).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+
+from kafka_stream_sorter_spark.schemas import TABLE_NAMES
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, rel_tol: float = 1e-9) -> list[str]:
+    """Return a list of mismatch descriptions (empty == match)."""
+    problems: list[str] = []
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        problems.append(f"columns differ: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}")
+        return problems
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row counts differ: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+        return problems
+    a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            bad = 0
+            for x, y in zip(av.tolist(), bv.tolist()):
+                fx = float("nan") if x is None else float(x)
+                fy = float("nan") if y is None else float(y)
+                if math.isnan(fx) and math.isnan(fy):
+                    continue
+                if fx != fy and not math.isclose(fx, fy, rel_tol=rel_tol, abs_tol=1e-12):
+                    bad += 1
+            if bad:
+                problems.append(f"column {c}: {bad} float mismatches beyond tol")
+            exact_bad = sum(1 for x, y in zip(av.tolist(), bv.tolist()) if (x is None) != (y is None) or (x is not None and float(x) != float(y)))
+            if exact_bad and not bad:
+                problems.append(f"column {c}: {exact_bad} values differ in exact bits (round on both sides!)")
+        else:
+            neq = (av.astype(str) != bv.astype(str)).sum()
+            if neq:
+                idx = (av.astype(str) != bv.astype(str)).idxmax()
+                problems.append(f"column {c}: {neq} mismatches, first at row {idx}: spark={av[idx]!r} duck={bv[idx]!r}")
+    return problems
+
+
+def run_parity(spark, sf_dir: str, name: str) -> list[str]:
+    from kafka_stream_sorter_spark.registry import ORACLES, QUERIES
+
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    con = duck_connect(sf_dir)
+    duck_pdf = con.execute(ORACLES[name]).fetchdf()
+    con.close()
+    return compare_frames(spark_pdf, duck_pdf)

@@ -1,0 +1,65 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_stream_sorter_spark.operators import sort as sort_ops
+from kafka_stream_sorter_spark.sources.parquet import load_table
+from kafka_stream_sorter_spark.validate import (
+    assert_count_conserved,
+    assert_sorted,
+    count_violations,
+)
+
+
+def test_global_sort_numeric(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    out = sort_ops.global_sort(events, "event_id")
+    assert_sorted(out, "event_id")
+    assert_count_conserved(events, out)
+
+
+def test_global_sort_lexicographic(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer")
+    out = sort_ops.global_sort(customer, "c_name")
+    assert_sorted(out, "c_name")
+    assert_count_conserved(customer, out)
+
+
+def test_sort_low_cardinality_with_tiebreak(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    out = sort_ops.sort_with_tiebreak(events, "event_type", "event_id")
+    assert_sorted(out, "event_type", "event_id")
+
+
+def test_violation_detector_catches_unsorted(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    # unsorted input must show violations (sanity that the oracle has teeth)
+    assert count_violations(events.orderBy(F.rand(7)), "event_id") > 0
+
+
+def test_topk(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    out = sort_ops.topk(events, 10, "value").collect()
+    assert len(out) == 10
+    vals = [r["value"] for r in out]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_keyed_fanout_orders_each_output(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").cache()
+    outs = sort_ops.keyed_fanout(
+        events,
+        {"by_id": ["event_id"], "by_type": ["event_type", "event_id"]},
+    )
+    assert set(outs) == {"by_id", "by_type"}
+    assert_sorted(outs["by_id"], "event_id")
+    assert_sorted(outs["by_type"], "event_type", "event_id")
+
+
+def test_with_global_position(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    out = sort_ops.with_global_position(events, "event_id")
+    rows = out.orderBy("global_pos").select("event_id", "global_pos").collect()
+    assert [r["global_pos"] for r in rows] == list(range(1, len(rows) + 1))
+    ids = [r["event_id"] for r in rows]
+    assert ids == sorted(ids)
