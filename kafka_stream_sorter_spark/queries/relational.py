@@ -1,0 +1,618 @@
+"""Relational breadth — SURVEY.md §2.C rows filter/join/agg/window/setops/scalar.
+
+These operators are absent from the reference (verified §2.B: no filter,
+join, aggregation, window, set op, or scalar library anywhere in its
+tree) — they are the capability gap a Spark-native engine fills for free
+via Catalyst. Plans are declared with the DataFrame API; physical strategy
+(broadcast vs sort-merge join, partial aggregation, TakeOrderedAndProject)
+is left to the optimizer, with explicit hints only where we know better
+(``F.broadcast`` on dimension tables).
+
+Cross-engine determinism conventions (vs the DuckDB oracle):
+* arithmetic double results → ``round(_, N)`` identically on both sides;
+  raw stored doubles pass through unrounded (identical bits).
+* computed integers → BIGINT on both sides (DuckDB row_number/year/sum
+  are BIGINT-or-wider; Spark row_number/year are INT — we cast up, and
+  CAST(... AS BIGINT) in the SQL where DuckDB would produce HUGEINT).
+* timestamps → emitted as ``strftime``-formatted strings or extracted ints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_stream_sorter_spark.functions.numeric import money_micros
+from kafka_stream_sorter_spark.registry import query
+from kafka_stream_sorter_spark.sources.parquet import load_table
+
+
+def _ts(lit: str) -> F.Column:
+    return F.lit(lit).cast("timestamp")
+
+
+# ---------------------------------------------------------------------------
+# Filter / project
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_quantity < 24
+    """,
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection, both pushed into the parquet scan by
+    Catalyst (PushedFilters/ReadSchema in .explain) — at 100 TB this reads
+    only the 5 projected columns and skips row groups by min/max stats."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+        & (F.col("l_quantity") < 24)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ small dim with an explicit broadcast hint: zero shuffle of
+    the fact side — the strategy that matters most at 1000 executors."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+@query(
+    "join_sortmerge",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, o_orderstatus, o_orderpriority
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 150000
+    """,
+)
+def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large ⋈ large on the natural key → shuffle on l_orderkey/o_orderkey
+    (sort-merge or AQE-elected shuffled-hash). The o_totalprice filter is
+    pushed below the join into the orders scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "o_orderstatus", "o_orderpriority"
+    )
+
+
+@query(
+    "join_multiway",
+    oracle="""
+    SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema snowflake: two broadcast dims chained, then aggregate.
+    Catalyst collapses both joins into the customer scan stage."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left_semi: probe side streams, no row multiplication."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2001-01-01')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left_anti (customers with no orders in 2001+)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= _ts("2001-01-01")
+    )
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_micros,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_micros,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           round(avg(l_discount), 4)                                    AS avg_disc,
+           CAST(count(*) AS BIGINT)                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: hash aggregate with map-side partial aggregation —
+    the shuffle carries only (2-key × 8-agg) partial states, not rows."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= _ts("2001-09-02")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        # money products → exact integer micros per row, then exact int sum
+        # (cross-engine round() is unsafe at half-boundaries — functions/numeric.py)
+        F.sum(money_micros(disc_price)).alias("sum_disc_price_micros"),
+        F.sum(money_micros(disc_price * (1 + F.col("l_tax")))).alias("sum_charge_micros"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(count(*) AS BIGINT)                  AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregate → Spark expands to a partial-dedup plan;
+    exact (approx_count_distinct is the 100 TB-budget variant)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(count(*) AS BIGINT)  AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           CAST(count(*) AS BIGINT)       AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           min(l_quantity)                              AS min_qty,
+           max(l_quantity)                              AS max_qty,
+           round(stddev_samp(l_quantity), 4)            AS std_qty,
+           round(quantile_cont(l_quantity, 0.5), 4)     AS median_qty,
+           round(avg(l_extendedprice), 4)               AS avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates incl. exact interpolated median
+    (Spark `percentile` == DuckDB `quantile_cont`, both linear)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never inferred — inference is a
+    full extra scan at 100 TB)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_o")
+        .withColumnRenamed("F", "qty_f")
+    )
+
+
+@query(
+    "tpch_q6",
+    oracle="""
+    SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_micros
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.08
+      AND l_quantity < 25
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan+filter+global agg — the all-pushdown query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.08)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.sum(money_micros(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue_micros"
+            )
+        )
+    )
+
+
+@query(
+    "tpch_q3_topk",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_micros,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue_micros DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join → agg → top-k on the aggregate. Revenue is
+    summed as exact integer micros so the ORDER BY k-boundary is
+    engine-independent (functions/numeric.py)."""
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < _ts("1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > _ts("1998-01-01"))
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(money_micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_micros"
+            )
+        )
+        .select(
+            "o_orderkey",
+            "revenue_micros",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue_micros").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT user_id, event_id, value, rn FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS rn
+        FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: one shuffle on the partition key, per-partition
+    sort — never a global sort. The filter on rn is pushed into the window
+    via Spark's WindowGroupLimit (rank pushdown) so only k rows per group
+    survive the sort buffer."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        events.select(
+            "user_id", "event_id", "value", F.row_number().over(w).cast("long").alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_analytic",
+    oracle="""
+    SELECT user_id, event_id, value,
+           round(value - lag(value) OVER w, 4)  AS delta_prev,
+           lead(event_id) OVER w                AS next_event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+           CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS value_rank
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/running-sum/rank over one window spec: Spark evaluates all
+    four in a single WindowExec pass after one shuffle on user_id."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wrank = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta_prev"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2
+        ).alias("running_value"),
+        F.rank().over(wrank).cast("long").alias("value_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return customer.union(supplier).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return customer.intersect(supplier)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT p_size AS key FROM part
+    EXCEPT
+    SELECT n_nationkey FROM nation
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part sizes (1..50) minus nation keys (0..24) — non-empty at every sf."""
+    part = load_table(spark, sf_dir, "part").select(F.col("p_size").alias("key"))
+    nation = load_table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("key"))
+    # subtract == EXCEPT DISTINCT (exceptAll is multiset difference — a key
+    # on both sides would survive whenever its left count exceeds its right)
+    return part.subtract(nation)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function library — ≙ the reference's only scalar code, the two key
+# extractors (external_sort.go:368-425), generalized to a real library.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                       AS name_upper,
+           substr(c_name, 1, 9)                AS name_prefix,
+           CAST(length(c_name) AS BIGINT)      AS name_len,
+           concat(c_mktsegment, '#', c_name)   AS tagged,
+           replace(c_name, 'Customer', 'C')    AS short_name,
+           CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos
+    FROM customer
+    """,
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 9).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat(F.col("c_mktsegment"), F.lit("#"), F.col("c_name")).alias("tagged"),
+        F.regexp_replace("c_name", "Customer", "C").alias("short_name"),
+        F.instr(F.col("c_name"), "#").cast("long").alias("hash_pos"),
+    )
+
+
+@query(
+    "scalar_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT)    AS yr,
+           CAST(month(o_orderdate) AS BIGINT)   AS mo,
+           CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')    AS plus_30d
+    FROM orders
+    """,
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias(
+            "plus_30d"
+        ),
+    )
+
+
+@query(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000 + 0.5) AS BIGINT) AS charge_micros,
+           CAST(ceil(l_quantity / 7.0) AS BIGINT)  AS qty_bucket,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_kband,
+           abs(l_discount - 0.05)                  AS disc_dev,
+           round(ln(l_extendedprice + 1), 6)       AS log_price,
+           round(sqrt(l_quantity), 6)              AS sqrt_qty,
+           CAST(l_orderkey % 97 AS BIGINT)         AS pm
+    FROM lineitem
+    """,
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        money_micros(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("charge_micros"),
+        F.ceil(F.col("l_quantity") / 7.0).cast("long").alias("qty_bucket"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_kband"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("log_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        (F.col("l_orderkey") % 97).cast("long").alias("pm"),
+    )
+
+
+@query(
+    "scalar_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+    FROM events
+    """,
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events payload column — the
+    semi-structured half of the scalar library (get_json_object stays
+    JVM-side; no Python in the loop)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.select("event_id", k.alias("k_val"), (k % 10).alias("k_mod"))

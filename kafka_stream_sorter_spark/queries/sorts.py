@@ -1,0 +1,119 @@
+"""Sort-family queries — reference parity (SURVEY.md §2.A op #14).
+
+The reference's entire query surface is three total-order sorts of one
+table (``/root/reference/cmd/sorter/main.go:24`` maps key → sort job;
+``internal/sort/external_sort.go:69-201`` executes). ``events`` /
+``customer`` play the role of the Kafka ``source`` topic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_stream_sorter_spark.operators import sort as sort_ops
+from kafka_stream_sorter_spark.registry import query
+from kafka_stream_sorter_spark.sources.parquet import load_table
+
+
+@query(
+    "sort_numeric",
+    oracle="""
+    SELECT event_id, user_id, event_type, value, props
+    FROM events ORDER BY event_id
+    """,
+)
+def sort_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≙ ``./sorter id`` — numeric total order (external_sort.go:140-144)."""
+    events = load_table(spark, sf_dir, "events")
+    return sort_ops.global_sort(
+        events.select("event_id", "user_id", "event_type", "value", "props"), "event_id"
+    )
+
+
+@query(
+    "sort_lexicographic",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer ORDER BY c_name, c_custkey
+    """,
+)
+def sort_lexicographic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≙ ``./sorter name`` — lexicographic total order (external_sort.go:145-147).
+    ASCII-only data keeps Spark UTF8String binary order == DuckDB == Go byte
+    order (SURVEY.md §7.5)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.orderBy(F.col("c_name").asc(), F.col("c_custkey").asc())
+
+
+@query(
+    "sort_low_cardinality",
+    oracle="""
+    SELECT event_type, event_id, user_id, value
+    FROM events ORDER BY event_type, event_id
+    """,
+)
+def sort_low_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≙ ``./sorter continent`` — 5-6 distinct keys over the full table.
+    Deterministic tie-break added (reference ties are arbitrary order)."""
+    events = load_table(spark, sf_dir, "events")
+    return sort_ops.sort_with_tiebreak(
+        events.select("event_type", "event_id", "user_id", "value"), "event_type", "event_id"
+    )
+
+
+@query(
+    "keyed_fanout",
+    oracle="""
+    SELECT 'by_id' AS sort_name, event_id,
+           row_number() OVER (ORDER BY event_id) AS pos
+    FROM events
+    UNION ALL
+    SELECT 'by_type' AS sort_name, event_id,
+           row_number() OVER (ORDER BY event_type, event_id) AS pos
+    FROM events
+    UNION ALL
+    SELECT 'by_user' AS sort_name, event_id,
+           row_number() OVER (ORDER BY user_id, event_id) AS pos
+    FROM events
+    """,
+)
+def keyed_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≙ one source topic → three sorted output topics
+    (scripts/run.sh:33-35; cmd/sorter/main.go:42-46). The source is scanned
+    once (cached) instead of the reference's 3× re-read; each output's total
+    order is materialized as an explicit position column (the
+    order-into-a-partitioned-sink pattern, SURVEY.md §7.5)."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    outs = []
+    for name, keys in {
+        "by_id": ["event_id"],
+        "by_type": ["event_type", "event_id"],
+        "by_user": ["user_id", "event_id"],
+    }.items():
+        w = Window.orderBy(*[F.col(k).asc() for k in keys])
+        outs.append(
+            events.select(
+                F.lit(name).alias("sort_name"),
+                F.col("event_id"),
+                F.row_number().over(w).cast("long").alias("pos"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+@query(
+    "topk",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events ORDER BY value DESC, event_id LIMIT 100
+    """,
+)
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... LIMIT k → TakeOrderedAndProject (no full global sort;
+    only num_partitions × k rows ever move — SURVEY.md §2.C row `topk`)."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return events.orderBy(F.col("value").desc(), F.col("event_id").asc()).limit(100)

@@ -30,7 +30,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            df[c] = df[c].map(
+                lambda v: "<NULL>"
+                if v is None or (isinstance(v, float) and math.isnan(v))
+                else str(v)
+            )
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -57,7 +61,14 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, rel_tol: flo
                     bad += 1
             if bad:
                 problems.append(f"column {c}: {bad} float mismatches beyond tol")
-            exact_bad = sum(1 for x, y in zip(av.tolist(), bv.tolist()) if (x is None) != (y is None) or (x is not None and float(x) != float(y)))
+            def _f(v):
+                return float("nan") if v is None else float(v)
+
+            exact_bad = sum(
+                1
+                for x, y in zip(av.tolist(), bv.tolist())
+                if not (math.isnan(_f(x)) and math.isnan(_f(y))) and _f(x) != _f(y)
+            )
             if exact_bad and not bad:
                 problems.append(f"column {c}: {exact_bad} values differ in exact bits (round on both sides!)")
         else:
