@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: times every registered query at one scale factor.
+
+Usage: python bench.py            # $SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": 0.1, ...}
+
+Each query is materialized with a noop write (full execution, nothing
+collected to the driver) so the timing covers scan → shuffle → sink the way
+a cluster job would, not a driver-side fetch of a head sample.
+
+Comparison anchor (BASELINE.md): the reference sorts ~500-600k rows/s on
+4 cores; the derived 2x gate is >=250k rows/s of sort throughput. We report
+sort_rows_per_sec for the numeric global sort alongside per-query seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if len(sys.argv) > 1:
+        sf_dir = sys.argv[1]
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from kafka_stream_sorter_spark.registry import QUERIES
+    from kafka_stream_sorter_spark.session import get_spark
+
+    t_start = time.perf_counter()
+    spark = get_spark(app_name="bench")
+    startup_sec = time.perf_counter() - t_start
+
+    # Warm the JVM + parquet footers so per-query numbers measure the
+    # queries, not first-touch overhead (the reference's timings likewise
+    # exclude container startup — BASELINE.md "excl. fixed startup").
+    QUERIES["sort_numeric"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # Sort-throughput anchor vs the reference's 500-600k rows/s.
+    n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    sort_sec = max(timings["sort_numeric"], 1e-9)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+                "startup_sec": round(startup_sec, 3),
+                "sort_rows_per_sec": int(n_events / sort_sec),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Portable text hashing — the primitive under fingerprinting, MinHash,
+SimHash, and LSH banding.
+
+Built-in hash functions are engine-specific (Spark xxhash64/murmur3 have no
+DuckDB twin), so every hash here is a *polynomial rolling hash over ASCII
+codes* computed with plain integer arithmetic — bit-identical in any engine
+(verified Spark == DuckDB in tests). Spark evaluates it inside whole-stage
+codegen via ``transform``/``aggregate`` higher-order functions: no UDF, no
+Python in the loop, fully distributed.
+
+    h(s) = fold(chars(s), 0, (acc, c) -> (acc * 31 + ascii(c)) mod P)
+
+P = 1e9+7 keeps every intermediate < 2^63 (acc < P, acc*31 + 127 < 3.3e10).
+MinHash permutations are the classic universal-hash family
+(a_i * h + b_i) mod P with fixed odd multipliers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+P = 1_000_000_007
+
+# fixed MinHash permutation parameters (8 hashes → 4 bands of 2)
+MINHASH_A = [1_000_003, 999_983, 838_021, 753_211, 613_651, 541_699, 479_001, 402_653]
+MINHASH_B = [12_289, 24_593, 49_157, 98_317, 196_613, 393_241, 786_433, 1_572_869]
+N_MINHASH = len(MINHASH_A)
+BAND_MIX = 2_000_000_011  # combines two minhashes into one band key (< 2^63)
+
+
+def char_poly_hash(s: Column) -> Column:
+    """Polynomial hash of a string column (JVM-side fold over its chars)."""
+    return F.aggregate(
+        F.split(s, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % P,
+    )
+
+
+def token_hashes(tokens: Column) -> Column:
+    """array<string> → array<long> of per-token polynomial hashes."""
+    return F.transform(tokens, char_poly_hash)
+
+
+def _perm(a: int, b: int):
+    # closure factory: pyspark inspects lambda arity, so default-arg capture
+    # (lambda h, a=a: ...) would be mis-read as a 3-arg SQL lambda
+    return lambda h: (h * a + b) % P
+
+
+def minhash_signature(tok_hashes: Column) -> list[Column]:
+    """8 MinHash values: min over tokens of (a_i * h + b_i) mod P."""
+    return [
+        F.array_min(F.transform(tok_hashes, _perm(a, b)))
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    ]
+
+
+# --- SQL twins (DuckDB oracle side) ---------------------------------------
+
+SQL_CHAR_POLY_HASH = (
+    "list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(string_split({s}, ''), c -> ascii(c)::BIGINT)), "
+    "(a, b) -> (a * 31 + b) % 1000000007)"
+)
+
+
+def sql_char_poly_hash(s_expr: str) -> str:
+    return SQL_CHAR_POLY_HASH.format(s=s_expr)
+
+
+def sql_minhash(i: int, h_expr: str) -> str:
+    return f"min(({h_expr} * {MINHASH_A[i]} + {MINHASH_B[i]}) % 1000000007)"

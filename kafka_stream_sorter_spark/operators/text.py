@@ -1,0 +1,109 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline surface (BASELINE.json north star; absent from the
+reference, whose only string handling is positional CSV key extraction at
+``/root/reference/internal/sort/external_sort.go:368-398``).
+
+Everything is built-in column expressions (split / regexp / aggregate /
+transform) — JVM-side, codegen'd, shuffle-free per row; at 100 TB these run
+as a pure map stage over the document scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_stream_sorter_spark.functions.text_hash import char_poly_hash
+
+# tiny fixed stopword lists per language — the n-gram/marker-word heuristic
+# (real pipelines use fastText; the *operator shape* is what matters here:
+# deterministic score columns + argmax with a fixed tie order).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (lowercased) — array<string>."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: total, distinct, and a BPE-ish subword estimate
+    (ceil(chars/4) per token — the standard ~4-chars-per-token heuristic)."""
+    toks = tokens(F.col(text_col))
+    return df.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.ceil(F.length(t) / 4.0)
+        ).alias("n_subwords_est"),
+        F.length(text_col).cast("long").alias("n_chars_actual"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / repetition signals, micros-scaled to
+    exact BIGINTs so they are cross-engine hashable (functions/numeric.py)."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
+    punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
+    return df.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.floor(n_chars / n_tok * 1000).cast("long").alias("avg_token_len_milli"),
+        F.floor(stop_hits / n_tok * 1_000_000).cast("long").alias("stopword_ratio_micro"),
+        F.floor(punct / n_chars * 1_000_000).cast("long").alias("punct_ratio_micro"),
+        F.floor(distinct_ratio * 1_000_000).cast("long").alias("distinct_ratio_micro"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: score = marker hits per language; argmax with
+    fixed tie order (score desc, language asc). Deterministic; degenerate on
+    the synthetic corpus (English-ish vocab) by design of the fixture."""
+    toks = tokens(F.col(text_col))
+
+    def _hits(markers: list[str]) -> Column:
+        # closure factory — a default-arg lambda would change the SQL arity
+        return F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("long")
+
+    scores = {lang: _hits(markers) for lang, markers in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.coalesce(
+        *[F.when((scores[lang] == best) & (best > 0), F.lit(lang)) for lang in sorted(scores)],
+        F.lit("und"),
+    )
+    return df.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(scores)],
+        pred.alias("lang_pred"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """Document fingerprinting: whole-text polynomial hash + the minimum of
+    all rolling k-char-gram hashes (the winnowing primitive). Both are plain
+    integer arithmetic — portable across engines (functions/text_hash.py)."""
+    text = F.col(text_col)
+    # greatest(..., 1) guards docs shorter than k (sequence(1, 0) would
+    # otherwise produce a DESCENDING sequence, not an empty one)
+    rolling = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1))),
+        lambda i: char_poly_hash(F.substring(text, i, k)),
+    )
+    return df.select(
+        "doc_id",
+        char_poly_hash(text).alias("full_hash"),
+        F.array_min(rolling).alias("min_kgram_hash"),
+        F.array_max(rolling).alias("max_kgram_hash"),
+    )

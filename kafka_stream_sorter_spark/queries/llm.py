@@ -1,0 +1,358 @@
+"""LLM-data-pipeline queries: text analysis, dedup, similarity search,
+multimodal plumbing (BASELINE.json north star; none exist in the reference
+— SURVEY.md §2.B).
+
+Every oracle below replicates the Spark plan's *exact* integer/double
+arithmetic in DuckDB SQL — possible because all hashing is the portable
+polynomial family in functions/text_hash.py and all ratios are divisions
+of exact integers (bit-deterministic in float64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_stream_sorter_spark.functions.text_hash import (
+    BAND_MIX,
+    MINHASH_A,
+    MINHASH_B,
+)
+from kafka_stream_sorter_spark.operators import dedup, multimodal, similarity, text
+from kafka_stream_sorter_spark.registry import query
+from kafka_stream_sorter_spark.sources.parquet import load_table
+
+# --- shared SQL fragments (DuckDB twins of operators/text.py) --------------
+
+SQL_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+SQL_WORDS = f"list_sort(list_distinct({SQL_TOKS}))"
+
+
+def _sql_poly(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split({expr}, ''), c -> ascii(c)::BIGINT)), "
+        f"(a, b) -> (a * 31 + b) % 1000000007)"
+    )
+
+
+SQL_WORD_SETS = f"""
+    SELECT doc_id, lang,
+           CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
+           {SQL_WORDS} AS words
+    FROM documents
+"""
+
+SQL_TOKEN_HASHES = f"""
+    SELECT doc_id, {_sql_poly('t')} AS h
+    FROM (SELECT doc_id, unnest(list_distinct({SQL_TOKS})) AS t FROM documents)
+"""
+
+SQL_MINHASH_SIG = (
+    "SELECT doc_id, "
+    + ", ".join(
+        f"min((h * {a} + {b}) % 1000000007) AS mh{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    + f" FROM ({SQL_TOKEN_HASHES}) GROUP BY doc_id"
+)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({SQL_TOKS}) AS BIGINT)                 AS n_tokens,
+           CAST(len(list_distinct({SQL_TOKS})) AS BIGINT)  AS n_distinct_tokens,
+           list_reduce(list_prepend(0::BIGINT,
+               list_transform({SQL_TOKS}, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))),
+               (a, b) -> a + b)                            AS n_subwords_est,
+           CAST(length(text) AS BIGINT)                    AS n_chars_actual
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_quality",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, text, {SQL_TOKS} AS toks, length(text) AS nc FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(floor(nc / len(toks) * 1000) AS BIGINT) AS avg_token_len_milli,
+           CAST(floor(len(list_filter(toks,
+                x -> list_contains(['the','a','of','and','is'], x))) / len(toks) * 1000000)
+                AS BIGINT) AS stopword_ratio_micro,
+           CAST(floor((nc - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / nc * 1000000)
+                AS BIGINT) AS punct_ratio_micro,
+           CAST(floor(len(list_distinct(toks)) / len(toks) * 1000000) AS BIGINT)
+                AS distinct_ratio_micro
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(list_filter({SQL_TOKS}, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS score_de,
+             CAST(len(list_filter({SQL_TOKS}, x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT)     AS score_en,
+             CAST(len(list_filter({SQL_TOKS}, x -> list_contains(['el','la','de','que','los'], x))) AS BIGINT)    AS score_es,
+             CAST(len(list_filter({SQL_TOKS}, x -> list_contains(['le','la','les','et','est'], x))) AS BIGINT)    AS score_fr,
+             CAST(len(list_filter({SQL_TOKS}, x -> list_contains(['de5','shi4','le5','zai4','he2'], x))) AS BIGINT) AS score_zh
+      FROM documents
+    )
+    SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+           CASE
+             WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) = 0 THEN 'und'
+             WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+             WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+             WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+             WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+             ELSE 'zh'
+           END AS lang_pred
+    FROM s
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           {_sql_poly('text')} AS full_hash,
+           list_aggregate(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+               i -> {_sql_poly('substr(text, i, 5)')}), 'min') AS min_kgram_hash,
+           list_aggregate(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+               i -> {_sql_poly('substr(text, i, 5)')}), 'max') AS max_kgram_hash
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT user_id, event_type, event_id, value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dropDuplicates: keep the lowest-event_id row per
+    (user_id, event_type) — operators/dedup.py:dedup_exact."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "value"
+    )
+    return dedup.dedup_exact(events, ["user_id", "event_type"], "event_id")
+
+
+@query(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT md5(text) AS content_md5,
+           min(doc_id) AS canonical_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup ledger: shuffles 16-byte digests, not documents."""
+    return dedup.content_hash_groups(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_jaccard",
+    oracle=f"""
+    WITH ws AS ({SQL_WORD_SETS})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.words, b.words)) AS BIGINT) AS n_common,
+           CAST(len(a.words) + len(b.words) - len(list_intersect(a.words, b.words)) AS BIGINT) AS n_union,
+           len(list_intersect(a.words, b.words)) /
+             (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) AS jaccard
+    FROM ws a JOIN ws b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.words, b.words)) /
+          (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) >= 0.95
+    """,
+)
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact word-set Jaccard (candidates = same lang × length
+    bucket) — operators/dedup.py:jaccard_pairs."""
+    return dedup.jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.95)
+
+
+@query("dedup_minhash_sig", oracle=SQL_MINHASH_SIG)
+def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-permutation MinHash signatures (portable universal hashing) —
+    byte-identical in both engines."""
+    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sig AS ({SQL_MINHASH_SIG}),
+    buckets AS (
+      SELECT doc_id, b.band,
+             CASE b.band
+               WHEN 0 THEN mh0 * {BAND_MIX} + mh1
+               WHEN 1 THEN mh2 * {BAND_MIX} + mh3
+               WHEN 2 THEN mh4 * {BAND_MIX} + mh5
+               ELSE        mh6 * {BAND_MIX} + mh7
+             END AS bucket
+      FROM sig, (SELECT unnest(range(4)) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM buckets x JOIN buckets y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ),
+    ws AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents)
+    SELECT doc_a, doc_b,
+           len(list_intersect(wa.words, wb.words)) /
+             (len(wa.words) + len(wb.words) - len(list_intersect(wa.words, wb.words))) AS jaccard
+    FROM cand
+    JOIN ws wa ON doc_a = wa.doc_id
+    JOIN ws wb ON doc_b = wb.doc_id
+    WHERE len(list_intersect(wa.words, wb.words)) /
+          (len(wa.words) + len(wb.words) - len(list_intersect(wa.words, wb.words))) >= 0.9
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: band-bucket join proposes,
+    exact Jaccard verifies — operators/dedup.py:minhash_lsh_pairs."""
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.9)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH th AS ({SQL_TOKEN_HASHES}),
+    bits AS (
+      SELECT doc_id, b.b, (1::BIGINT << b.b) AS mask,
+             CASE WHEN (h & (1::BIGINT << b.b)) <> 0 THEN 1 ELSE -1 END AS v
+      FROM th, (SELECT unnest(range(16)) AS b) b
+    ),
+    per_bit AS (SELECT doc_id, b, mask, sum(v) AS sv FROM bits GROUP BY doc_id, b, mask)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN sv >= 0 THEN mask ELSE 0 END) AS BIGINT) AS simhash
+    FROM per_bit GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document — operators/dedup.py:simhash."""
+    return dedup.simhash(load_table(spark, sf_dir, "documents"), bits=16)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_bruteforce",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.emb, c.emb), 6) AS cos_sim
+      FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for query vectors 0..4 —
+    operators/similarity.py:brute_force_topk (float64 fold, broadcast
+    queries, one corpus pass)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+@query(
+    "ann_ivf_blocked",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(c.label AS BIGINT) AS block,
+             round(list_cosine_similarity(q.emb, c.emb), 6) AS cos_sim
+      FROM e q JOIN e c
+        ON q.vec_id < 20 AND c.label = q.label AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, block, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def ann_ivf_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style blocked ANN (label ≙ coarse cluster): per-block top-5 —
+    operators/similarity.py:blocked_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.blocked_topk(emb, query_ids=list(range(20)), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents)
+    SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(16 + n_bytes % 624 AS BIGINT)       AS width,
+           CAST(16 + (n_bytes * 7) % 464 AS BIGINT) AS height,
+           CAST(1 + n_bytes % 3 AS BIGINT)          AS channels,
+           CAST(1 + n_bytes // 1024 AS BIGINT)      AS n_frames
+    FROM b
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode via Arrow mapInPandas (stubbed codec — see
+    operators/multimodal.py; the oracle replicates the stub arithmetic
+    from the byte length, proving the Spark-side plumbing end-to-end)."""
+    return multimodal.decode_metadata(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "multimodal_frames",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(unnest(range(0, octet_length(encode(text)), 1024)) AS BIGINT) AS frame_offset
+    FROM documents
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-offset sampling over binary payloads (explode-shaped) —
+    operators/multimodal.py:frame_sample_offsets."""
+    return multimodal.frame_sample_offsets(load_table(spark, sf_dir, "documents"))

@@ -16,6 +16,7 @@ automatically under ``spark.memory.fraction``.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -37,6 +38,14 @@ def get_spark(
     count; AQE coalescing is enabled either way.
     """
     cpus = default_parallelism()
+    # Python workers (Pandas UDF / mapInPandas) must be able to import this
+    # package; they inherit PYTHONPATH from the driver JVM, not sys.path.
+    repo_root = str(Path(__file__).resolve().parents[1])
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

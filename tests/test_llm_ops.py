@@ -1,0 +1,119 @@
+"""Semantic tests for the LLM-pipeline operators, beyond oracle parity:
+constructed duplicates must be found, ANN must agree with numpy, plumbing
+shapes must hold."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from kafka_stream_sorter_spark.operators import dedup, multimodal, similarity
+from kafka_stream_sorter_spark.sources.parquet import load_table
+
+
+def _docs_with_dupes(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s", 43),
+        (2, "the quick brown fox jumps over the lazy dog", "en", "s", 43),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat", "en", "s", 43),  # near dup
+        (4, "completely different words entirely here now", "en", "s", 45),
+        (5, "der schnelle braune fuchs springt", "de", "s", 33),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def test_dedup_exact_keeps_lowest(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)], ["id", "k", "v"]
+    )
+    out = dedup.dedup_exact(df, ["k"], "id").collect()
+    assert {(r["k"], r["id"]) for r in out} == {("a", 1), ("b", 3)}
+
+
+def test_content_hash_finds_exact_dupes(spark):
+    out = dedup.content_hash_groups(_docs_with_dupes(spark)).collect()
+    by_canon = {r["canonical_doc_id"]: r["n_copies"] for r in out}
+    assert by_canon[1] == 2  # docs 1 and 2 collapse
+    assert by_canon[3] == 1
+
+
+def test_jaccard_catches_near_dup(spark):
+    pairs = dedup.jaccard_pairs(_docs_with_dupes(spark), threshold=0.7).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    assert got[(1, 2)] == 1.0  # identical word sets
+    assert (1, 3) in got and 0.7 <= got[(1, 3)] < 1.0  # one word swapped
+    assert all(a < b for (a, b) in got)  # canonical pair orientation
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    sigs = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(8))
+            for r in dedup.minhash_signatures(_docs_with_dupes(spark)).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_minhash_lsh_finds_exact_and_near_dupes(spark):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             dedup.minhash_lsh_pairs(_docs_with_dupes(spark), threshold=0.7).collect()}
+    assert (1, 2) in pairs  # identical docs always share every band
+
+
+def test_simhash_identical_docs_equal(spark):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(_docs_with_dupes(spark)).collect()}
+    assert sh[1] == sh[2]
+    assert 0 <= sh[1] < 2**16
+    # near-dup should be close in hamming distance; unrelated doc far
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sh[1], sh[3]) <= ham(sh[1], sh[4]) + 2
+
+
+def test_brute_force_topk_matches_numpy(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(emb, query_ids=[0], k=5).orderBy("rank").collect()
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    q = vecs[0]
+    sims = {
+        vid: float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)))
+        for vid, v in vecs.items()
+        if vid != 0
+    }
+    expected = sorted(sims.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:5]
+    assert [r["neighbor_id"] for r in out] == [vid for vid, _ in expected]
+    for r, (vid, s) in zip(out, expected):
+        assert math.isclose(r["cos_sim"], round(s, 6), abs_tol=2e-6)
+
+
+def test_blocked_topk_stays_in_block(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.blocked_topk(emb, query_ids=[0, 1], k=3)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    for r in out.collect():
+        assert r["block"] == labels[r["query_id"]]
+        assert r["neighbor_id"] != r["query_id"]
+
+
+def test_multimodal_decode_plumbing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = multimodal.decode_metadata(docs)
+    assert out.count() == docs.count()
+    r = out.filter(F.col("doc_id") == 0).collect()[0]
+    n = r["n_bytes"]
+    assert (r["width"], r["height"], r["channels"], r["n_frames"]) == (
+        16 + n % 624, 16 + (n * 7) % 464, 1 + n % 3, 1 + n // 1024,
+    )
+
+
+def test_multimodal_frame_offsets(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    out = multimodal.frame_sample_offsets(docs, frame_bytes=100).collect()
+    from collections import defaultdict
+
+    by_doc = defaultdict(list)
+    for r in out:
+        by_doc[r["doc_id"]].append(r["frame_offset"])
+    for doc_id, offs in by_doc.items():
+        n_bytes = [r["n_bytes"] for r in out if r["doc_id"] == doc_id][0]
+        assert sorted(offs) == list(range(0, n_bytes, 100))
