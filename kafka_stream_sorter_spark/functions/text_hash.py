@@ -22,11 +22,22 @@ from pyspark.sql import functions as F
 
 P = 1_000_000_007
 
-# fixed MinHash permutation parameters (8 hashes → 4 bands of 2)
-MINHASH_A = [1_000_003, 999_983, 838_021, 753_211, 613_651, 541_699, 479_001, 402_653]
-MINHASH_B = [12_289, 24_593, 49_157, 98_317, 196_613, 393_241, 786_433, 1_572_869]
+# fixed MinHash permutation parameters: 16 hashes → 4 bands × 4 rows.
+# 4-row bands collide with probability j^4 per band — with 2-row bands a
+# small-vocabulary corpus put >60% of docs into ONE bucket (candidate set
+# quadratic in corpus size); r=4 keeps the LSH threshold ≈ (1/4)^(1/4) ≈ 0.71.
+MINHASH_A = [
+    1_000_003, 999_983, 838_021, 753_211, 613_651, 541_699, 479_001, 402_653,
+    334_211, 287_117, 251_263, 199_999, 166_601, 131_071, 104_729, 87_178,
+]
+MINHASH_B = [
+    12_289, 24_593, 49_157, 98_317, 196_613, 393_241, 786_433, 1_572_869,
+    3_145_739, 6_291_469, 12_582_917, 25_165_843, 50_331_653, 100_663_319,
+    201_326_611, 402_653_189,
+]
 N_MINHASH = len(MINHASH_A)
-BAND_MIX = 2_000_000_011  # combines two minhashes into one band key (< 2^63)
+LSH_ROWS = 4  # minhashes per band
+LSH_BANDS = N_MINHASH // LSH_ROWS
 
 
 def char_poly_hash(s: Column) -> Column:
@@ -50,11 +61,28 @@ def _perm(a: int, b: int):
 
 
 def minhash_signature(tok_hashes: Column) -> list[Column]:
-    """8 MinHash values: min over tokens of (a_i * h + b_i) mod P."""
+    """16 MinHash values: min over tokens of (a_i * h + b_i) mod P."""
     return [
         F.array_min(F.transform(tok_hashes, _perm(a, b)))
         for a, b in zip(MINHASH_A, MINHASH_B)
     ]
+
+
+def band_bucket(minhashes: list[Column]) -> Column:
+    """Folds one band's LSH_ROWS minhash columns into a single bucket id via
+    the same polynomial fold as char hashing (all intermediates < 32*P)."""
+    acc = F.lit(0).cast("long")
+    for mh in minhashes:
+        acc = (acc * 31 + mh) % P
+    return acc
+
+
+def sql_band_bucket(mh_exprs: list[str]) -> str:
+    """DuckDB twin of band_bucket."""
+    acc = "0::BIGINT"
+    for e in mh_exprs:
+        acc = f"(({acc}) * 31 + {e}) % {P}"
+    return acc
 
 
 # --- SQL twins (DuckDB oracle side) ---------------------------------------

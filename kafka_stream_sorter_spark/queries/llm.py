@@ -14,9 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_stream_sorter_spark.functions.text_hash import (
-    BAND_MIX,
+    LSH_BANDS,
+    LSH_ROWS,
     MINHASH_A,
     MINHASH_B,
+    sql_band_bucket,
 )
 from kafka_stream_sorter_spark.operators import dedup, multimodal, similarity, text
 from kafka_stream_sorter_spark.registry import query
@@ -55,6 +57,13 @@ SQL_MINHASH_SIG = (
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     )
     + f" FROM ({SQL_TOKEN_HASHES}) GROUP BY doc_id"
+)
+
+SQL_LSH_BUCKETS = " UNION ALL ".join(
+    f"SELECT doc_id, {i}::BIGINT AS band, "
+    + sql_band_bucket([f"mh{LSH_ROWS * i + r}" for r in range(LSH_ROWS)])
+    + " AS bucket FROM sig"
+    for i in range(LSH_BANDS)
 )
 
 
@@ -213,20 +222,12 @@ def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=f"""
     WITH sig AS ({SQL_MINHASH_SIG}),
-    buckets AS (
-      SELECT doc_id, b.band,
-             CASE b.band
-               WHEN 0 THEN mh0 * {BAND_MIX} + mh1
-               WHEN 1 THEN mh2 * {BAND_MIX} + mh3
-               WHEN 2 THEN mh4 * {BAND_MIX} + mh5
-               ELSE        mh6 * {BAND_MIX} + mh7
-             END AS bucket
-      FROM sig, (SELECT unnest(range(4)) AS band) b
-    ),
+    buckets AS ({SQL_LSH_BUCKETS}),
     cand AS (
-      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      FROM buckets x JOIN buckets y
-        ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+      SELECT DISTINCT rep AS doc_a, doc_id AS doc_b FROM (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bucket) AS rep
+        FROM buckets
+      ) WHERE rep < doc_id
     ),
     ws AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents)
     SELECT doc_a, doc_b,
@@ -240,9 +241,29 @@ def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: band-bucket join proposes,
-    exact Jaccard verifies — operators/dedup.py:minhash_lsh_pairs."""
+    """MinHash-LSH near-dup pipeline, star-verified: bucket-representative
+    edges proposed by LSH banding, exact Jaccard verifies — O(n·bands)
+    candidate edges instead of quadratic within-bucket pairs
+    (operators/dedup.py:minhash_lsh_pairs)."""
     return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.9)
+
+
+@query(
+    "dedup_minhash_groups",
+    oracle=f"""
+    WITH sig AS ({SQL_MINHASH_SIG}),
+    buckets AS ({SQL_LSH_BUCKETS})
+    SELECT doc_id, min(bmin) AS canonical_doc_id FROM (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bucket) AS bmin
+      FROM buckets
+    ) GROUP BY doc_id
+    """,
+)
+def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH dedup-group assignment (doc → canonical doc id): the linear-cost
+    materialization a full-corpus dedup pass writes —
+    operators/dedup.py:minhash_lsh_groups."""
+    return dedup.minhash_lsh_groups(load_table(spark, sf_dir, "documents"))
 
 
 @query(
