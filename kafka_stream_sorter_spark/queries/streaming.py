@@ -1,0 +1,184 @@
+"""Streaming queries: bounded-replay Structured Streaming jobs whose final
+state equals a batch query — so every one is DuckDB-oracle-checkable.
+
+Each callable starts a real streaming query (file source ≙ the reference's
+Kafka `source` topic), drains it with Trigger.AvailableNow (≙ the
+reference's read-until-timeout drain,
+/root/reference/internal/sort/external_sort.go:95-113), and returns the
+sink as a batch DataFrame. The fixture is a single parquet file, so the
+replay is one micro-batch and update/append-mode emissions equal the final
+aggregate — which is what makes exact oracles possible.
+
+Output-mode choices:
+* windowed/session aggs → complete (emit final windows regardless of
+  watermark lag; session windows reject update mode)
+* dedup → append (first arrival wins; we emit keys only, so deterministic)
+* custom state → update (final batch's emission is the merged state)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_stream_sorter_spark.functions.numeric import money_micros
+from kafka_stream_sorter_spark.registry import query
+from kafka_stream_sorter_spark.streaming import ops
+
+SUM_MICROS_SQL = "CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)"
+
+
+@query(
+    "stream_window_tumbling",
+    oracle=f"""
+    SELECT date_trunc('day', ts)                  AS win_start,
+           date_trunc('day', ts) + INTERVAL 1 DAY AS win_end,
+           event_type,
+           CAST(count(*) AS BIGINT)               AS n_events,
+           {SUM_MICROS_SQL}                       AS sum_value_micros
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window (1 day) per event_type with a 1-hour
+    watermark, drained AvailableNow — streaming/ops.py."""
+    sdf = (
+        ops.stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money_micros(F.col("value"))).alias("sum_value_micros"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value_micros",
+        )
+    )
+    return ops.drain_to_table(sdf, "complete")
+
+
+@query(
+    "stream_window_sliding",
+    oracle="""
+    SELECT date_trunc('day', ts) - k.k * INTERVAL 1 DAY                  AS win_start,
+           date_trunc('day', ts) - k.k * INTERVAL 1 DAY + INTERVAL 2 DAY AS win_end,
+           event_type,
+           CAST(count(*) AS BIGINT)                                      AS n_events
+    FROM events, (SELECT unnest([0, 1]) AS k) k
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window (2-day length, 1-day slide): each event
+    lands in two overlapping windows."""
+    sdf = (
+        ops.stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return ops.drain_to_table(sdf, "complete")
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL 1 HOUR
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts)                   AS session_start,
+           max(ts) + INTERVAL 1 HOUR AS session_end,
+           CAST(count(*) AS BIGINT)  AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (1-hour inactivity gap) per user — gaps-and-islands
+    as a native streaming operator. Session end = last event + gap (Spark's
+    session_window semantics, mirrored in the oracle)."""
+    sdf = (
+        ops.stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    # session-window aggs support append/complete only; complete emits the
+    # final merged sessions at drain end
+    return ops.drain_to_table(sdf, "complete")
+
+
+@query(
+    "stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on (user_id, event_type): stateful
+    first-arrival dedup with watermark-bounded state. Emits only the keys —
+    which row arrives first is racy, the key set is not."""
+    sdf = (
+        ops.stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return ops.drain_to_table(sdf, "append")
+
+
+@query(
+    "stream_stateful_user_stats",
+    oracle=f"""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {SUM_MICROS_SQL}         AS sum_value_micros,
+           max(value)               AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running count/sum/max — streaming/ops.py:user_running_stats."""
+    sdf = ops.user_running_stats(ops.stream_events(spark, sf_dir))
+    return ops.drain_to_table(sdf, "update")
+
+
+@query(
+    "stream_sorted_drain",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
+def stream_sorted_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship as a stream job: drain the bounded stream,
+    emit a totally ordered materialization (foreachBatch orderBy →
+    range-disjoint sorted files) — streaming/ops.py:drain_sorted. The oracle
+    checks content conservation (count + values); ordering itself is
+    asserted by tests/test_streaming.py via the sort keys."""
+    return ops.drain_sorted(ops.stream_events(spark, sf_dir), ["event_id"])

@@ -42,4 +42,9 @@ def query(name: str, oracle: str | None = None):
 
 
 # Importing the query modules populates the registry.
-from kafka_stream_sorter_spark.queries import llm, relational, sorts  # noqa: E402,F401
+from kafka_stream_sorter_spark.queries import (  # noqa: E402,F401
+    llm,
+    relational,
+    sorts,
+    streaming,
+)

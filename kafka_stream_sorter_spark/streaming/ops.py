@@ -1,0 +1,164 @@
+"""Structured Streaming operator surface.
+
+The reference is nominally a stream processor, but it treats its Kafka topic
+as *bounded*: each sorter drains `source` to EOF (a 5 s read deadline — the
+drain heuristic at ``/root/reference/internal/sort/external_sort.go:95-113``)
+and exits. The faithful Spark mapping (SURVEY.md §3.4) is
+``Trigger.AvailableNow``: process everything available, then stop — same
+bounded-drain semantics, minus the timeout guesswork, plus checkpointed
+exactly-once state.
+
+Everything here runs the bounded-replay pattern so results are byte-
+comparable with a batch oracle:
+
+    file/kafka stream → event-time ops (watermark, windows, state) →
+    AvailableNow drain → sink → inspect as a batch DataFrame
+
+At scale the memory sink below becomes a Kafka/parquet sink; the operators
+are sink-agnostic. State stores shard by groups across executors — the
+watermark/session/dedup operators shuffle once on their grouping keys,
+exactly like their batch analogues.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_SINK_IDS = itertools.count()
+
+# File-source schema for events.parquet. ``ts`` is TIMESTAMP(NANOS) in the
+# fixture; with spark.sql.legacy.parquet.nanosAsLong (session.py) the scan
+# yields a long, converted to a micros timestamp below — the identical
+# truncation DuckDB applies (sources/parquet.py does the same for batch).
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark, sf_dir: str) -> DataFrame:
+    """Unbounded view of the events table via the file streaming source
+    (≙ the reference's Kafka `source` topic; swap in
+    sources/kafka.read_topic(streaming=True) when a broker exists)."""
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def drain_to_table(sdf: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming DataFrame to exhaustion (AvailableNow) into a memory
+    sink; return the sink contents as a batch DataFrame.
+
+    The memory sink is the test-scale stand-in for the reference's output
+    topics (`sorted_*`); production would use format("kafka")/("parquet")
+    with the same query unchanged."""
+    name = f"stream_sink_{next(_SINK_IDS)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def drain_sorted(sdf: DataFrame, keys: list[str]) -> DataFrame:
+    """The reference's flagship pipeline as a stream job: drain the bounded
+    stream and materialize a totally ordered result (≙ ExternalSort →
+    sorted_* topic, /root/reference/internal/sort/external_sort.go:69-201).
+
+    foreachBatch sorts each micro-batch globally (range exchange + per-range
+    external sort) and appends range-disjoint sorted parquet files — the
+    distributed equivalent of the reference's single-writer merge phase.
+    Total order is recoverable from the sort keys; no single-writer
+    bottleneck."""
+    out = tempfile.mkdtemp(prefix="sorted_drain_")
+
+    def emit(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.orderBy(*keys).write.mode("append").parquet(out)
+
+    q = (
+        sdf.writeStream.foreachBatch(emit)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.read.parquet(out)
+
+
+def user_running_stats(sdf: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    (count, integer-micros sum, max) over the event stream. The reference has
+    no stateful ops at all (SURVEY.md §2.B); this is the extension surface
+    for ones Spark lacks built-in.
+
+    Emits the running totals for every user seen in each micro-batch
+    (update semantics). Sum is accumulated as integer micros — per-element
+    floor(v*1e6+0.5) then integer adds — so the result is independent of
+    arrival order (functions/numeric.py rationale)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value_micros", LongType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", LongType()),
+            StructField("m", DoubleType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state):
+        import numpy as np
+
+        n, s, m = state.get() if state.exists else (0, 0, None)
+        for pdf in pdf_iter:
+            v = pdf["value"].to_numpy()
+            n += len(v)
+            s += int(np.floor(v * 1_000_000 + 0.5).astype("int64").sum())
+            batch_max = float(np.max(v)) if len(v) else None
+            m = batch_max if m is None else max(m, batch_max) if batch_max is not None else m
+        state.update((n, s, m))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value_micros": [s],
+                "max_value": [m],
+            }
+        )
+
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
