@@ -82,6 +82,70 @@ def decode_metadata(docs: DataFrame) -> DataFrame:
     return with_blob(docs).mapInPandas(decode_batches, schema=DECODE_SCHEMA)
 
 
+FEATURE_SCHEMA = "doc_id long, " + ", ".join(f"h{i} long" for i in range(8))
+
+
+def byte_histogram_features(docs: DataFrame) -> DataFrame:
+    """Feature extraction over the binary payload: an 8-bin byte-value
+    histogram per blob (bin = byte >> 5) via Arrow-batched mapInPandas +
+    numpy. Unlike the decode stub this is REAL computation on the bytes —
+    the plumbing pattern for any per-blob featurizer (CLIP, mel spectrogram)
+    whose library would replace the numpy body."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in batches:
+            hists = np.stack(
+                [
+                    np.bincount(
+                        np.frombuffer(blob, dtype=np.uint8) >> 5, minlength=8
+                    )[:8]
+                    for blob in pdf["blob"]
+                ]
+            )
+            out = {"doc_id": pdf["doc_id"].to_numpy()}
+            for i in range(8):
+                out[f"h{i}"] = hists[:, i].astype("int64")
+            yield _pd.DataFrame(out)
+
+    return with_blob(docs).mapInPandas(featurize, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, thumb_w long, thumb_h long, thumb_bytes long, thumb_checksum long"
+
+
+def resize_thumbnail(docs: DataFrame, w: int = 16, h: int = 16, channels: int = 3) -> DataFrame:
+    """Resize step, stubbed at the pixel level: a real resize needs a codec
+    (PIL/opencv — not in this container), so the "thumbnail" is the leading
+    w*h*channels byte slice of the blob; its length and integer checksum are
+    what tests and the oracle pin. The Spark-side contract (Arrow batches,
+    schema, one map stage, no shuffle) is exactly what a real resampler
+    plugs into."""
+    budget = w * h * channels
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in batches:
+            sliced = [np.frombuffer(b, dtype=np.uint8)[:budget] for b in pdf["blob"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "thumb_w": np.int64(w),
+                    "thumb_h": np.int64(h),
+                    "thumb_bytes": np.array([len(s) for s in sliced], dtype="int64"),
+                    "thumb_checksum": np.array(
+                        [int(s.astype("int64").sum()) for s in sliced], dtype="int64"
+                    ),
+                }
+            )
+
+    return with_blob(docs).mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
 def frame_sample_offsets(docs: DataFrame, frame_bytes: int = 1024) -> DataFrame:
     """"Video" frame sampling: one row per sampled frame offset — the
     explode-shaped half of multimodal processing, done with built-ins

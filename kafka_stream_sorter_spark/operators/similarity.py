@@ -56,6 +56,108 @@ def brute_force_topk(
     )
 
 
+EMB_DIM = 64
+LSH_BITS = 8
+
+# Deterministic "random" hyperplanes: sign(j, d) ∈ {+1.0, -1.0} from plain
+# integer arithmetic, so the DuckDB oracle embeds the SAME literals — no RNG,
+# no cross-engine drift. (Real systems sample Gaussians; ±1 "sign" planes are
+# the standard cheap variant and are exactly representable.)
+HYPERPLANE_SIGNS: list[list[float]] = [
+    [
+        1.0 if ((j * EMB_DIM + d) * 1_000_003 + 12_289) % 1_000_000_007 % 2 == 0 else -1.0
+        for d in range(EMB_DIM)
+    ]
+    for j in range(LSH_BITS)
+]
+
+
+def hyperplane_bucket(emb: Column) -> Column:
+    """Random-hyperplane LSH bucket id of an array<double> embedding:
+    bit j = (emb · plane_j >= 0). Vectors at angle θ disagree on a bit with
+    probability θ/π, so near-identical vectors share all LSH_BITS bits —
+    the blocking key that makes embedding near-dup sub-quadratic.
+
+    The dot product is a left fold seeded with 0.0 in both engines, so the
+    float64 sum order — and therefore every bit — is bit-identical."""
+    acc = F.lit(0).cast("long")
+    for j in range(LSH_BITS):
+        signs = F.array(*[F.lit(s) for s in HYPERPLANE_SIGNS[j]])
+        dot = F.aggregate(
+            F.zip_with(emb, signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        acc = acc + F.when(dot >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def sql_hyperplane_bucket(emb_expr: str) -> str:
+    """DuckDB twin of :func:`hyperplane_bucket` (emb_expr: a DOUBLE[] expr,
+    1-indexed)."""
+    parts = []
+    for j in range(LSH_BITS):
+        dot = "0.0"
+        for d, s in enumerate(HYPERPLANE_SIGNS[j]):
+            dot = f"({dot} + {emb_expr}[{d + 1}] * ({s:.1f}))"
+        parts.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+def lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+    """LSH-bucketed ANN: candidates share the query's hyperplane bucket.
+    Unlike blocked_topk's given partition (label), the bucket is computed
+    from the vector itself — the self-indexing scale path when no cluster
+    assignment exists. Queries landing in singleton buckets return fewer
+    than k rows (the standard LSH recall trade; widen with multi-probe)."""
+    emb = _as_double(embeddings).withColumn("bucket", hyperplane_bucket(F.col("embedding")))
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("embedding").alias("q_emb"),
+    )
+    cand = emb.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("bucket").alias("bucket"),
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.999) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: exact cosine verification over
+    candidates blocked by hyperplane bucket — the vector twin of MinHash-LSH
+    text dedup (operators/dedup.py). Within-bucket quadratic only; at 100 TB
+    the bucket count scales with LSH_BITS to keep blocks executor-sized."""
+    emb = _as_double(embeddings).withColumn("bucket", hyperplane_bucket(F.col("embedding")))
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.bucket").alias("bucket"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def blocked_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
     """IVF-style ANN: candidates share the query's block (label ≙ coarse
     cluster id). The corpus-side join key makes this an ordinary shuffle

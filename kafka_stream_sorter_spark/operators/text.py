@@ -47,6 +47,52 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# GPT-2-ish pre-tokenizer shape, restricted to a regex dialect Spark (Java)
+# and DuckDB (RE2) parse identically: letter runs, digit runs, single
+# non-alnum-non-space marks.
+BPE_PRETOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_pretokens(text: Column) -> Column:
+    """BPE-style pre-tokenization (regex, lowercased) — array<string>. The
+    merge loop of real BPE is vocab-driven; the pre-tokenizer is the part a
+    corpus pipeline runs at scale (token counting, cost estimation)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_PRETOKEN_RE), 0)
+
+
+def bpe_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Regex-tokenizer counting: total pieces and the alpha/numeric/punct
+    split — all JVM-side regexp + filter, no Python."""
+    pieces = bpe_pretokens(F.col(text_col))
+    alpha = F.size(F.filter(pieces, lambda p: p.rlike("^[a-z]+$")))
+    num = F.size(F.filter(pieces, lambda p: p.rlike("^[0-9]+$")))
+    return df.select(
+        "doc_id",
+        F.size(pieces).cast("long").alias("n_pieces"),
+        alpha.cast("long").alias("n_alpha"),
+        num.cast("long").alias("n_num"),
+        (F.size(pieces) - alpha - num).cast("long").alias("n_punct"),
+    )
+
+
+def token_frequencies(df: DataFrame, text_col: str = "text", top_n: int = 100) -> DataFrame:
+    """Corpus vocabulary: explode whitespace tokens, count, keep the top_n by
+    (count desc, token asc). The shuffle is on token strings with map-side
+    partial aggregation; the final top-n is a single small sort."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+    )
+
+
 def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword / repetition signals, micros-scaled to
     exact BIGINTs so they are cross-engine hashable (functions/numeric.py)."""

@@ -21,6 +21,7 @@ from kafka_stream_sorter_spark.functions.text_hash import (
     sql_band_bucket,
 )
 from kafka_stream_sorter_spark.operators import dedup, multimodal, similarity, text
+from kafka_stream_sorter_spark.operators.similarity import sql_hyperplane_bucket
 from kafka_stream_sorter_spark.registry import query
 from kafka_stream_sorter_spark.sources.parquet import load_table
 
@@ -338,6 +339,139 @@ def ann_ivf_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.py:blocked_topk."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.blocked_topk(emb, query_ids=list(range(20)), k=5)
+
+
+@query(
+    "ann_lsh_hyperplane",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    b AS (SELECT vec_id, emb, {sql_hyperplane_bucket('emb')} AS bucket FROM e),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.bucket AS bucket,
+             round(list_cosine_similarity(q.emb, c.emb), 6) AS cos_sim
+      FROM b q JOIN b c
+        ON q.vec_id < 20 AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, bucket, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane-LSH ANN: self-indexing bucket from deterministic
+    sign planes, per-bucket top-5 — operators/similarity.py:lsh_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, query_ids=list(range(20)), k=5)
+
+
+@query(
+    "dedup_embedding",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    b AS (SELECT vec_id, emb, {sql_hyperplane_bucket('emb')} AS bucket FROM e)
+    SELECT a.vec_id AS vec_a, x.vec_id AS vec_b, a.bucket AS bucket,
+           round(list_cosine_similarity(a.emb, x.emb), 6) AS cos_sim
+    FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+    WHERE round(list_cosine_similarity(a.emb, x.emb), 6) >= 0.999
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucket blocked — the vector twin
+    of MinHash text dedup (operators/similarity.py:embedding_near_dup_pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.999)
+
+
+@query(
+    "text_bpe_tokens",
+    oracle=r"""
+    WITH p AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS pieces
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(pieces) AS BIGINT)                                              AS n_pieces,
+           CAST(len(list_filter(pieces, x -> regexp_full_match(x, '[a-z]+'))) AS BIGINT) AS n_alpha,
+           CAST(len(list_filter(pieces, x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT) AS n_num,
+           CAST(len(pieces)
+                - len(list_filter(pieces, x -> regexp_full_match(x, '[a-z]+')))
+                - len(list_filter(pieces, x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT) AS n_punct
+    FROM p
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style regex pre-tokenizer counting (letter/digit/punct pieces) —
+    operators/text.py:bpe_token_stats."""
+    return text.bpe_token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_token_freq",
+    oracle=rf"""
+    WITH t AS (
+      SELECT unnest({SQL_TOKS}) AS token FROM documents
+    ),
+    c AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences FROM t GROUP BY token)
+    SELECT token, n_occurrences,
+           row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank
+    FROM c
+    QUALIFY rank <= 100
+    """,
+)
+def text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-100 (count desc, token asc tie-break) —
+    operators/text.py:token_frequencies."""
+    return text.token_frequencies(load_table(spark, sf_dir, "documents"), top_n=100)
+
+
+@query(
+    "multimodal_byte_hist",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''), c -> ascii(c)) AS bytes
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(bytes, x -> x // 32 = 0)) AS BIGINT) AS h0,
+           CAST(len(list_filter(bytes, x -> x // 32 = 1)) AS BIGINT) AS h1,
+           CAST(len(list_filter(bytes, x -> x // 32 = 2)) AS BIGINT) AS h2,
+           CAST(len(list_filter(bytes, x -> x // 32 = 3)) AS BIGINT) AS h3,
+           CAST(len(list_filter(bytes, x -> x // 32 = 4)) AS BIGINT) AS h4,
+           CAST(len(list_filter(bytes, x -> x // 32 = 5)) AS BIGINT) AS h5,
+           CAST(len(list_filter(bytes, x -> x // 32 = 6)) AS BIGINT) AS h6,
+           CAST(len(list_filter(bytes, x -> x // 32 = 7)) AS BIGINT) AS h7
+    FROM b
+    """,
+)
+def multimodal_byte_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real per-blob feature extraction (8-bin byte histogram) via Arrow
+    mapInPandas + numpy — operators/multimodal.py:byte_histogram_features.
+    Oracle maps chars to bytes (fixture text is pure ASCII, verified)."""
+    return multimodal.byte_histogram_features(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           16::BIGINT AS thumb_w,
+           16::BIGINT AS thumb_h,
+           CAST(least(length(text), 768) AS BIGINT) AS thumb_bytes,
+           CAST(coalesce(list_aggregate(
+               list_transform(string_split(substr(text, 1, 768), ''),
+                              c -> ascii(c)::BIGINT), 'sum'), 0) AS BIGINT) AS thumb_checksum
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize step (byte-slice thumbnail stub; pixel resampling needs a
+    codec) — operators/multimodal.py:resize_thumbnail. Length + checksum of
+    the 16x16x3 slice pin the Arrow plumbing."""
+    return multimodal.resize_thumbnail(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

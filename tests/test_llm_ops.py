@@ -117,3 +117,68 @@ def test_multimodal_frame_offsets(spark, sf_dir):
     for doc_id, offs in by_doc.items():
         n_bytes = [r["n_bytes"] for r in out if r["doc_id"] == doc_id][0]
         assert sorted(offs) == list(range(0, n_bytes, 100))
+
+
+def test_hyperplane_bucket_identical_vectors_collide(spark):
+    rows = [
+        (1, [1.0] * 64), (2, [1.0] * 64),                       # identical
+        (3, [1.0] * 63 + [1.001]),                              # near-identical
+        (4, [(-1.0) ** i * (i + 1.0) for i in range(64)]),      # unrelated
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    b = {r["vec_id"]: r["b"] for r in df.select(
+        "vec_id", similarity.hyperplane_bucket(F.col("embedding")).alias("b")).collect()}
+    assert b[1] == b[2]
+    assert b[1] == b[3]  # tiny perturbation flips no sign bit
+    assert 0 <= b[1] < 2 ** similarity.LSH_BITS
+
+
+def test_embedding_near_dup_finds_duplicate_vectors(spark):
+    base = [float(i % 7 - 3) for i in range(64)]
+    rows = [(1, base), (2, list(base)), (3, [v * 2.0 for v in base]),  # scaled = cos 1.0
+            (4, [float(63 - i) for i in range(64)])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {(r["vec_a"], r["vec_b"]) for r in
+             similarity.embedding_near_dup_pairs(df, threshold=0.999).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+
+
+def test_bpe_token_stats_counts(spark):
+    from kafka_stream_sorter_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "Hello, world! abc123 42", "en", "s", 23)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    r = text_ops.bpe_token_stats(df).collect()[0]
+    # pieces: hello , world ! abc 123 42  -> 7
+    assert (r["n_pieces"], r["n_alpha"], r["n_num"], r["n_punct"]) == (7, 3, 2, 2)
+
+
+def test_token_frequencies_rank_deterministic(spark):
+    from kafka_stream_sorter_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "b a a c b a", "en", "s", 11)], ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = text_ops.token_frequencies(df, top_n=2).orderBy("rank").collect()
+    assert [(r["token"], r["n_occurrences"]) for r in out] == [("a", 3), ("b", 2)]
+
+
+def test_byte_histogram_matches_numpy(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    got = {r["doc_id"]: [r[f"h{i}"] for i in range(8)]
+           for r in multimodal.byte_histogram_features(docs).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        want = np.bincount(np.frombuffer(r["text"].encode(), dtype=np.uint8) >> 5,
+                           minlength=8)[:8].tolist()
+        assert got[r["doc_id"]] == want
+
+
+def test_resize_thumbnail_slice_semantics(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    got = {r["doc_id"]: r for r in multimodal.resize_thumbnail(docs).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        b = r["text"].encode()[:768]
+        g = got[r["doc_id"]]
+        assert (g["thumb_bytes"], g["thumb_checksum"]) == (len(b), sum(b))
