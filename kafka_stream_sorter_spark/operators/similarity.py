@@ -57,18 +57,27 @@ def brute_force_topk(
 
 
 EMB_DIM = 64
-LSH_BITS = 8
+LSH_BITS = 6
 
-# Deterministic "random" hyperplanes: sign(j, d) ∈ {+1.0, -1.0} from plain
-# integer arithmetic, so the DuckDB oracle embeds the SAME literals — no RNG,
-# no cross-engine drift. (Real systems sample Gaussians; ±1 "sign" planes are
-# the standard cheap variant and are exactly representable.)
+
+def _plane_sign(j: int, d: int) -> float:
+    """Deterministic, well-mixed ±1 — sha256 of the (plane, dim) pair.
+
+    NOT a linear formula: sign patterns like parity((j*D+d)*odd + odd) are
+    identical across planes (parity is invariant under odd multipliers), which
+    collapses every plane to one bit. The signs are compile-time literals
+    embedded identically in the Spark plan and the DuckDB oracle, so no
+    arithmetic needs to be reproduced engine-side."""
+    import hashlib
+
+    digest = hashlib.sha256(f"hp:{j}:{d}".encode()).digest()
+    return 1.0 if int.from_bytes(digest[:4], "big") % 2 == 0 else -1.0
+
+
+# (Real systems sample Gaussians; ±1 "sign" planes are the standard cheap
+# variant and are exactly representable in float64.)
 HYPERPLANE_SIGNS: list[list[float]] = [
-    [
-        1.0 if ((j * EMB_DIM + d) * 1_000_003 + 12_289) % 1_000_000_007 % 2 == 0 else -1.0
-        for d in range(EMB_DIM)
-    ]
-    for j in range(LSH_BITS)
+    [_plane_sign(j, d) for d in range(EMB_DIM)] for j in range(LSH_BITS)
 ]
 
 
@@ -139,7 +148,12 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.999) ->
     """Embedding-cosine near-duplicate pairs: exact cosine verification over
     candidates blocked by hyperplane bucket — the vector twin of MinHash-LSH
     text dedup (operators/dedup.py). Within-bucket quadratic only; at 100 TB
-    the bucket count scales with LSH_BITS to keep blocks executor-sized."""
+    the bucket count scales with LSH_BITS to keep blocks executor-sized.
+
+    Threshold note: on a real corpus use ~0.99+; the synthetic fixture's
+    embeddings are isotropic random unit vectors (no true near-dups exist at
+    any sf), so the registered query sets the threshold at the similarity
+    distribution's tail to keep the verify path exercised end-to-end."""
     emb = _as_double(embeddings).withColumn("bucket", hyperplane_bucket(F.col("embedding")))
     a, b = emb.alias("a"), emb.alias("b")
     return (

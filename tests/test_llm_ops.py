@@ -120,9 +120,13 @@ def test_multimodal_frame_offsets(spark, sf_dir):
 
 
 def test_hyperplane_bucket_identical_vectors_collide(spark):
+    # base = sum of the sign planes: its dot with every plane is >= 64 - 5*8,
+    # far from any decision boundary, so a tiny perturbation cannot flip bits
+    base = [sum(similarity.HYPERPLANE_SIGNS[j][d] for j in range(similarity.LSH_BITS))
+            + similarity.HYPERPLANE_SIGNS[0][d] * 64 for d in range(64)]
     rows = [
-        (1, [1.0] * 64), (2, [1.0] * 64),                       # identical
-        (3, [1.0] * 63 + [1.001]),                              # near-identical
+        (1, base), (2, list(base)),                             # identical
+        (3, [v + 0.001 for v in base]),                         # near-identical
         (4, [(-1.0) ** i * (i + 1.0) for i in range(64)]),      # unrelated
     ]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
