@@ -89,7 +89,14 @@ def with_global_position(df: DataFrame, *keys: str) -> DataFrame:
     ordered = df.orderBy(*[F.col(k).asc() for k in keys])
     part = F.spark_partition_id()
     w = Window.partitionBy(part).orderBy(*[F.col(k).asc() for k in keys])
-    with_local = ordered.withColumn("_local_rn", F.row_number().over(w)).withColumn("_pid", part)
+    # persist before the counts action: the range exchange samples bounds per
+    # execution, so without pinning, the offset pass and the output pass could
+    # see DIFFERENT partition boundaries → duplicated/skipped positions
+    with_local = (
+        ordered.withColumn("_local_rn", F.row_number().over(w))
+        .withColumn("_pid", part)
+        .persist()
+    )
     counts = with_local.groupBy("_pid").count().orderBy("_pid").collect()
     offsets = {}
     acc = 0
@@ -98,6 +105,8 @@ def with_global_position(df: DataFrame, *keys: str) -> DataFrame:
         acc += row["count"]
     offset_col = F.create_map(*[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))])
     return (
-        with_local.withColumn("global_pos", F.col("_local_rn") + offset_col[F.col("_pid")])
+        with_local.withColumn(
+            "global_pos", (F.col("_local_rn") + offset_col[F.col("_pid")]).cast("long")
+        )
         .drop("_local_rn", "_pid")
     )

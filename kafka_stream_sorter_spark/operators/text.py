@@ -78,7 +78,9 @@ def bpe_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 def token_frequencies(df: DataFrame, text_col: str = "text", top_n: int = 100) -> DataFrame:
     """Corpus vocabulary: explode whitespace tokens, count, keep the top_n by
     (count desc, token asc). The shuffle is on token strings with map-side
-    partial aggregation; the final top-n is a single small sort."""
+    partial aggregation; the top-n is orderBy+limit (TakeOrderedAndProject —
+    per-partition heads only), so the global-rank window runs over at most
+    top_n rows, never the vocabulary."""
     from pyspark.sql import Window
 
     counts = (
@@ -86,11 +88,10 @@ def token_frequencies(df: DataFrame, text_col: str = "text", top_n: int = 100) -
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= top_n)
-    )
+    order = [F.col("n_occurrences").desc(), F.col("token").asc()]
+    top = counts.orderBy(*order).limit(top_n)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -8,7 +8,7 @@ table (``/root/reference/cmd/sorter/main.go:24`` maps key → sort job;
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_stream_sorter_spark.operators import sort as sort_ops
@@ -91,12 +91,15 @@ def keyed_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "by_type": ["event_type", "event_id"],
         "by_user": ["user_id", "event_id"],
     }.items():
-        w = Window.orderBy(*[F.col(k).asc() for k in keys])
+        # distributed position assignment (range partitions + per-partition
+        # row numbers + tiny offset map) — NOT a no-partition window, which
+        # would serialize the whole table through one task
+        pos_df = sort_ops.with_global_position(events, *keys)
         outs.append(
-            events.select(
+            pos_df.select(
                 F.lit(name).alias("sort_name"),
                 F.col("event_id"),
-                F.row_number().over(w).cast("long").alias("pos"),
+                F.col("global_pos").alias("pos"),
             )
         )
     out = outs[0]

@@ -54,3 +54,15 @@ def test_global_sort_is_range_partitioned(spark, sf_dir):
 def test_no_cartesian_anywhere(spark, sf_dir):
     for name, fn in QUERIES.items():
         assert_plan_lacks(fn(spark, sf_dir), "CartesianProduct")
+
+
+def test_keyed_fanout_has_no_single_partition_window(spark, sf_dir):
+    # global positions must come from range partitions + offsets, not a
+    # no-partition window that serializes the table through one task
+    df = QUERIES["keyed_fanout"](spark, sf_dir)
+    plan = assert_plan_lacks(df, "Window [row_number")  # no unpartitioned global window op
+    assert "rangepartitioning" in plan
+
+
+def test_token_freq_topn_avoids_vocab_sort(spark, sf_dir):
+    assert_plan_contains(QUERIES["text_token_freq"](spark, sf_dir), "TakeOrderedAndProject")
