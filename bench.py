@@ -19,7 +19,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 
@@ -48,9 +50,28 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # Sort-throughput anchor vs the reference's 500-600k rows/s.
-    n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
-    sort_sec = max(timings["sort_numeric"], 1e-9)
+    # Reference-shaped workload ≙ the reference's whole pipeline at 1/10
+    # scale: producer (seeded CSV-row generation, BASELINE.md 60-70k rows/s)
+    # then three sequential total-order sorters over the materialized table
+    # (BASELINE.md 500-600k rows/s each). Rates are the comparable metric —
+    # the fixture queries above are far too small to show sustained rates.
+    from kafka_stream_sorter_spark.sources.generator import reference_records
+
+    ref_rows = int(os.environ.get("SPARK_GRAFT_REF_ROWS", "5000000"))
+    tmp = tempfile.mkdtemp(prefix="ref_workload_")
+    try:
+        t0 = time.perf_counter()
+        reference_records(spark, ref_rows).write.mode("overwrite").parquet(tmp)
+        timings["ref_produce"] = round(time.perf_counter() - t0, 3)
+        src = spark.read.parquet(tmp)
+        for key in ("id", "name", "continent"):
+            t0 = time.perf_counter()
+            src.orderBy(key).write.format("noop").mode("overwrite").save()
+            timings[f"ref_sort_{key}"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    slowest_sort = max(timings[f"ref_sort_{k}"] for k in ("id", "name", "continent"))
 
     total = round(sum(timings.values()), 3)
     print(
@@ -63,7 +84,9 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "startup_sec": round(startup_sec, 3),
-                "sort_rows_per_sec": int(n_events / sort_sec),
+                "ref_rows": ref_rows,
+                "ref_generate_rows_per_sec": int(ref_rows / max(timings["ref_produce"], 1e-9)),
+                "ref_sort_rows_per_sec": int(ref_rows / max(slowest_sort, 1e-9)),
             }
         )
     )
