@@ -29,6 +29,8 @@ from kafka_stream_sorter_spark.sources.parquet import load_table
 
 SQL_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
 SQL_WORDS = f"list_sort(list_distinct({SQL_TOKS}))"
+# hashed twin of operators/dedup.py:_word_sets(hashed=True): distinct tokens
+# → polynomial hash each → sort — long-set intersection is the cheap path
 
 
 def _sql_poly(expr: str) -> str:
@@ -39,10 +41,14 @@ def _sql_poly(expr: str) -> str:
     )
 
 
+SQL_WORD_HASHES = (
+    f"list_sort(list_transform(list_distinct({SQL_TOKS}), t -> {_sql_poly('t')}))"
+)
+
 SQL_WORD_SETS = f"""
     SELECT doc_id, lang,
            CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
-           {SQL_WORDS} AS words
+           {SQL_WORD_HASHES} AS words
     FROM documents
 """
 
@@ -230,7 +236,7 @@ def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM buckets
       ) WHERE rep < doc_id
     ),
-    ws AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents)
+    ws AS (SELECT doc_id, {SQL_WORD_HASHES} AS words FROM documents)
     SELECT doc_a, doc_b,
            len(list_intersect(wa.words, wb.words)) /
              (len(wa.words) + len(wb.words) - len(list_intersect(wa.words, wb.words))) AS jaccard
