@@ -520,3 +520,33 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-offset sampling over binary payloads (explode-shaped) —
     operators/multimodal.py:frame_sample_offsets."""
     return multimodal.frame_sample_offsets(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Dataset splitting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_hash_split",
+    oracle="""
+    SELECT event_id,
+           (event_id * 1000003 + 12289) % 1000000007 % 100 AS bucket,
+           CASE WHEN (event_id * 1000003 + 12289) % 1000000007 % 100 < 80 THEN 'train'
+                WHEN (event_id * 1000003 + 12289) % 1000000007 % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM events
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by key hash — the
+    reproducible alternative to seeded sampling (engine RNGs never agree
+    cross-engine; integer arithmetic always does). Pure map stage, no
+    shuffle; new rows never reshuffle old assignments."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.pmod(F.pmod(F.col("event_id") * 1_000_003 + 12_289, F.lit(1_000_000_007)), F.lit(100))
+    return e.select(
+        "event_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )

@@ -616,3 +616,71 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     return e.select("event_id", k.alias("k_val"), (k % 10).alias("k_mod"))
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'purchase' THEN event_id END AS p_id
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    m AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(p_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase_id
+      FROM u
+    )
+    SELECT event_id, user_id, ts, prev_purchase_id FROM m WHERE event_type = 'click'
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (an operator Spark lacks built-in): every click
+    gets the most recent strictly-earlier purchase of the same user —
+    operators/asof.py:asof_join_backward (union + partitioned window; one
+    shuffle, no per-row probe)."""
+    from kafka_stream_sorter_spark.operators.asof import asof_join_backward
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join_backward(
+        clicks,
+        purchases,
+        by=["user_id"],
+        ts="ts",
+        tiebreak="event_id",
+        payload="event_id",
+        payload_alias="prev_purchase_id",
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form under rollup/cube (one shuffle; the
+    Expand operator replicates rows per set, partial aggregation applies)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gsets")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem_gsets
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
