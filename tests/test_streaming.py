@@ -56,3 +56,57 @@ def test_session_windows_respect_gap(spark, sf_dir):
         | (F.col("n_events") < 1)
     )
     assert bad.count() == 0
+
+
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    """True watermark semantics need >1 micro-batch: file 0 advances the
+    watermark; a late row arriving in file 1 (event-time far behind the
+    watermark) must be dropped from an append-mode windowed aggregate."""
+    import pandas as pd
+
+    d = tmp_path / "stream_src"
+    d.mkdir()
+    # batch 0: events at 10:00-10:05 → watermark after batch = 10:05 - 1h? no:
+    # wm = max_ts - delay = 10:05 - 10min = 09:55
+    # datetime64[us]: pandas defaults to nanos, which the session reads as
+    # long (nanosAsLong) and would mismatch the declared TimestampType.
+    # Watermark updates lag one batch (computed from the PREVIOUS batch's
+    # max event time) and the late-row filter lags one more, so the late row
+    # arrives two batches after the data that advances the watermark.
+    batches = [
+        ["2024-01-01 10:00", "2024-01-01 10:05"],  # → wm becomes 09:55
+        ["2024-01-01 10:20"],                      # filter now uses 09:55
+        ["2024-01-01 08:00", "2024-01-01 10:25"],  # 08:00 is LATE → dropped
+    ]
+    vals = [[1.0, 2.0], [4.0], [8.0, 16.0]]
+    import os
+
+    for i, (ts, v) in enumerate(zip(batches, vals)):
+        f = d / f"part-{i:03d}.parquet"
+        pd.DataFrame(
+            {"ts": pd.to_datetime(ts).astype("datetime64[us]"), "v": v}
+        ).to_parquet(f)
+        # the file source orders by MODIFICATION time; writes can land in one
+        # clock tick, so pin mtimes to force file i → micro-batch i
+        os.utime(f, (1_700_000_000 + 100 * i,) * 2)
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, StructField, StructType, TimestampType
+
+    schema = StructType([StructField("ts", TimestampType()), StructField("v", DoubleType())])
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(d))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.sum("v").alias("sum_v"))
+        .select(F.col("w.start").alias("win_start"), "sum_v")
+    )
+    out = ops.drain_to_table(sdf, "append")
+    got = {r["win_start"].hour: r["sum_v"] for r in out.collect()}
+    # the 08:00 late row must NOT appear; in-time rows (1+2+4 in the 10:00
+    # window, 16 in its own) stay in state or emit, but never the late 8.0
+    assert 8 not in got, f"late row leaked into a closed window: {got}"
+    assert sum(got.values()) <= 23.0 and 8.0 not in got.values(), got
