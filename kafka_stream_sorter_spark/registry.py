@@ -47,4 +47,5 @@ from kafka_stream_sorter_spark.queries import (  # noqa: E402,F401
     relational,
     sorts,
     streaming,
+    tpch,
 )
