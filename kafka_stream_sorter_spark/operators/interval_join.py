@@ -1,0 +1,63 @@
+"""Bucketed interval (range) join — an operator Spark has no built-in for.
+
+Semantics: pairs ``(l, r)`` sharing equality keys with
+``r.ts ∈ (l.ts, l.ts + width]`` — "right event within *width* after left
+event". The reference engine has no joins at all (SURVEY.md §2.B); this is
+part of the extension surface, built the way a 100 TB run needs it.
+
+Naive plans are quadratic or broadcast-bound: Spark turns a pure non-equi
+time condition into BroadcastNestedLoopJoin (per-pair evaluation). The
+scale path here quantizes time into ``width``-sized buckets: a qualifying
+right row's bucket can only be the left row's bucket ``b`` or ``b+1``, so
+replicating the LEFT side into those two bucket values turns the join into
+a pure equi-join on ``(keys..., bucket)`` — hash-partitionable, AQE-skew-
+splittable, no row is compared outside its ±1 bucket neighborhood. Each
+qualifying pair matches exactly once (the right bucket is a single value;
+the two left replicas carry distinct bucket values), so no dedup pass is
+needed. Cost: 2× the left row count through one shuffle, independent of
+the time-span of the data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join_after(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    width_seconds: int,
+) -> DataFrame:
+    """Equi-keys + ``right_ts ∈ (left_ts, left_ts + width_seconds]``.
+
+    Returns all columns of ``left`` then all of ``right`` (caller aliases
+    beforehand to avoid collisions on shared names).
+    """
+    width_us = int(width_seconds) * 1_000_000
+
+    # exact integer division (`div`), not double `/`: a bucket flipped by a
+    # last-ulp rounding at a boundary would silently drop a matching pair
+    lb = F.expr(f"unix_micros({left_ts}) div {width_us}")
+    l2 = left.withColumn("_ij_bucket", F.explode(F.array(lb, lb + F.lit(1))))
+    r2 = right.withColumn(
+        "_ij_bucket", F.expr(f"unix_micros({right_ts}) div {width_us}")
+    )
+
+    cond = [l2[k] == r2[k] for k in keys] + [l2["_ij_bucket"] == r2["_ij_bucket"]]
+    refined = (
+        l2.join(r2, cond)
+        .filter(
+            (F.unix_micros(r2[right_ts]) > F.unix_micros(l2[left_ts]))
+            & (F.unix_micros(r2[right_ts]) <= F.unix_micros(l2[left_ts]) + width_us)
+        )
+    )
+    keep = [l2[c] for c in left.columns] + [
+        r2[c] for c in right.columns if c not in keys
+    ]
+    return refined.select(*keep)

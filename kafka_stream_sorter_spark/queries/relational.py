@@ -662,6 +662,101 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 14400000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a new session starts after a >4 h gap in a
+    user's event stream (gap-flag via lag, session id via running sum —
+    one shuffle on user_id, both windows share the same spec so Spark
+    evaluates them in a single WindowExec pass). The streaming twin is
+    stream_session_window (F.session_window); this is the replayable batch
+    semantics. Gap comparison is on integer epoch micros — exact in both
+    engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_us.isNull() | (gap_us > 14_400_000_000), 1).otherwise(0).alias("new_sess"),
+    )
+    return (
+        flagged.withColumn(
+            "session_id",
+            F.sum("new_sess")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        )
+    )
+
+
+@query(
+    "join_interval_bucketed",
+    oracle="""
+    SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+           CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+    """,
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-style range join: every click within 2 h after a view by
+    the same user. Plain non-equi time predicates degrade to nested-loop
+    plans; operators/interval_join.py quantizes time into join-width
+    buckets so this runs as a hash equi-join on (user_id, bucket) — the
+    strategy that survives 100 TB."""
+    from kafka_stream_sorter_spark.operators.interval_join import interval_join_after
+
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    joined = interval_join_after(
+        views, clicks, keys=["user_id"], left_ts="view_ts", right_ts="click_ts",
+        width_seconds=7200,
+    )
+    return joined.select(
+        "view_id",
+        "click_id",
+        "user_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("lag_us"),
+    )
+
+
+@query(
     "agg_grouping_sets",
     oracle="""
     SELECT l_returnflag, l_linestatus,
