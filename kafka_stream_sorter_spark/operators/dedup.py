@@ -68,6 +68,61 @@ def _word_sets(docs: DataFrame, hashed: bool = True) -> DataFrame:
     )
 
 
+def char_ngram_hashes(s: Column, n: int = 3) -> Column:
+    """Sorted distinct polynomial hashes of a string's character n-grams
+    (the shingle set for n-gram Jaccard). JVM-side sequence+transform —
+    no UDF. Strings shorter than n yield an empty set (sequence() would
+    otherwise produce a *descending* [1,0] range and bogus shingles)."""
+    from kafka_stream_sorter_spark.functions.text_hash import char_poly_hash
+
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(s) - (n - 1)),
+        lambda i: F.substring(s, i, F.lit(n)),
+    )
+    safe = F.when(F.length(s) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    return F.array_sort(F.array_distinct(F.transform(safe, char_poly_hash)))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.9
+) -> DataFrame:
+    """Character-n-gram Jaccard near-dup pairs — the word-order-insensitive,
+    typo-tolerant sibling of :func:`jaccard_pairs` (word shingles miss
+    dups that differ by punctuation/casing inside tokens; char shingles
+    don't). Same scale shape: candidates blocked on (lang, length-bucket),
+    size bound applied before the set intersection."""
+    g = docs.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        char_ngram_hashes(F.col("text"), n).alias("grams"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    na, nb = F.size(F.col("a.grams")), F.size(F.col("b.grams"))
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = na + nb - inter
+    jac = inter / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.least(na, nb) >= F.greatest(na, nb) * threshold),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.cast("long").alias("n_common"),
+            union.cast("long").alias("n_union"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Blocked exact n-gram (word-set) Jaccard near-dup pairs.
 

@@ -19,6 +19,7 @@ from kafka_stream_sorter_spark.functions.text_hash import (
     MINHASH_A,
     MINHASH_B,
     sql_band_bucket,
+    sql_char_poly_hash,
 )
 from kafka_stream_sorter_spark.operators import dedup, multimodal, similarity, text
 from kafka_stream_sorter_spark.operators.similarity import sql_hyperplane_bucket
@@ -218,6 +219,42 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.95)
 
 
+SQL_NGRAM_SETS = f"""
+    SELECT doc_id, lang,
+           CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
+           list_sort(list_distinct(list_transform(
+             CASE WHEN length(text) >= 3
+                  THEN list_transform(range(1, length(text) - 1),
+                                      i -> substr(text, CAST(i AS INTEGER), 3))
+                  ELSE [] END,
+             g -> {sql_char_poly_hash('g')}))) AS grams
+    FROM documents
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH gs AS ({SQL_NGRAM_SETS})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_common,
+           CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_union,
+           len(list_intersect(a.grams, b.grams)) /
+             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
+    FROM gs a JOIN gs b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+     AND least(len(a.grams), len(b.grams)) >= greatest(len(a.grams), len(b.grams)) * 0.9
+    WHERE len(list_intersect(a.grams, b.grams)) /
+          (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.9
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard near-dups (blocked, hashed shingles) — the
+    typo/punctuation-tolerant variant of dedup_jaccard —
+    operators/dedup.py:ngram_jaccard_pairs."""
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), n=3, threshold=0.9)
+
+
 @query("dedup_minhash_sig", oracle=SQL_MINHASH_SIG)
 def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-permutation MinHash signatures (portable universal hashing) —
@@ -370,6 +407,32 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign planes, per-bucket top-5 — operators/similarity.py:lsh_topk."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, query_ids=list(range(20)), k=5)
+
+
+@query(
+    "ann_vectorized",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.emb, c.emb) AS cos
+      FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def ann_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine via the Arrow/numpy scale path: per-partition
+    BLAS matrix product + local top-k inside mapInPandas, global rank over
+    candidates only — operators/similarity.py:brute_force_topk_vectorized.
+    Same neighbors/ranks as ann_bruteforce; ranks are compared instead of
+    scores because BLAS summation order differs in the last ulp."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk_vectorized(emb, query_ids=[0, 1, 2, 3, 4], k=10)
 
 
 @query(

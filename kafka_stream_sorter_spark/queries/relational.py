@@ -662,6 +662,105 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_quantiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.5),  6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-percentile per group (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, both linear interpolation). At 100 TB the drop-in
+    budget variant is approx_percentile with a bounded error — the exact
+    form is the oracle-checkable baseline."""
+    e = load_table(spark, sf_dir, "events")
+    pcts = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)))
+    return e.groupBy("event_type").agg(
+        pcts.alias("_p"), F.count(F.lit(1)).alias("n")
+    ).select(
+        "event_type",
+        F.round(F.col("_p")[0], 6).alias("p25"),
+        F.round(F.col("_p")[1], 6).alias("p50"),
+        F.round(F.col("_p")[2], 6).alias("p75"),
+        F.round(F.col("_p")[3], 6).alias("p95"),
+        "n",
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(least(greatest(floor((l_extendedprice - 900.0) / 5210.0), 0), 19) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound 20-bin histogram of l_extendedprice (bounds are plan
+    literals — inferring them would cost an extra full scan at 100 TB;
+    out-of-range values clamp into the edge bins). Bin arithmetic is pure
+    integer-producing double math, identical in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_col = F.least(
+        F.greatest(F.floor((F.col("l_extendedprice") - 900.0) / 5210.0), F.lit(0)),
+        F.lit(19),
+    ).cast("long")
+    return li.groupBy(bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_micros
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter aggregation via two-stage salting (event_type has 5
+    values — every key is hot at cluster scale): stage 1 groups on
+    (key, hash(event_id) % 16) so each key spreads over 16 reducers,
+    stage 2 folds the ≤16 partials per key — operators/skew.py. Exact
+    integer micros make both stages' sums order-independent; the oracle
+    is the plain one-stage GROUP BY."""
+    from kafka_stream_sorter_spark.operators.skew import salted_agg
+
+    e = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        e,
+        keys=["event_type"],
+        salt_on="event_id",
+        sums={"sum_value_micros": money_micros(F.col("value"))},
+        buckets=16,
+    )
+
+
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts — the 100 TB budget variant of
+    agg_distinct (fixed-size sketch per key vs a full dedup shuffle). No
+    SQL oracle: HLL estimates are engine-specific (driver records the
+    rows-only check); tests/test_approx.py bounds the estimate against the
+    exact count at the configured 2% rsd."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.approx_count_distinct("event_id", 0.02).alias("approx_events"),
+    )
+
+
+@query(
     "window_sessionize",
     oracle="""
     WITH flagged AS (
