@@ -55,13 +55,17 @@ def main() -> None:
     # then three sequential total-order sorters over the materialized table
     # (BASELINE.md 500-600k rows/s each). Rates are the comparable metric —
     # the fixture queries above are far too small to show sustained rates.
-    from kafka_stream_sorter_spark.sources.generator import reference_records
+    from kafka_stream_sorter_spark.sources.generator import (
+        jit_friendly_codegen,
+        reference_records,
+    )
 
     ref_rows = int(os.environ.get("SPARK_GRAFT_REF_ROWS", "5000000"))
     tmp = tempfile.mkdtemp(prefix="ref_workload_")
     try:
         t0 = time.perf_counter()
-        reference_records(spark, ref_rows).write.mode("overwrite").parquet(tmp)
+        with jit_friendly_codegen(spark):
+            reference_records(spark, ref_rows).write.mode("overwrite").parquet(tmp)
         timings["ref_produce"] = round(time.perf_counter() - t0, 3)
         src = spark.read.parquet(tmp)
         for key in ("id", "name", "continent"):
