@@ -613,3 +613,43 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.alias("bucket"),
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
     )
+
+
+@query(
+    "pipeline_quality_dedup_split",
+    oracle="""
+    WITH kept AS (
+      SELECT min(doc_id) AS doc_id, min(lang) AS lang
+      FROM documents
+      WHERE n_chars >= 150
+      GROUP BY text
+    ),
+    assigned AS (
+      SELECT lang,
+             CASE WHEN (doc_id * 1000003 + 12289) % 1000000007 % 100 < 80 THEN 'train'
+                  WHEN (doc_id * 1000003 + 12289) % 1000000007 % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM kept
+    )
+    SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def pipeline_quality_dedup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline: quality gate → exact dedup
+    (canonical = min doc_id per distinct text) → deterministic hash split
+    → per-(split, lang) manifest counts. Three shuffles total (dedup
+    groupBy, final groupBy; the split is a pure map) — the composition a
+    100 TB corpus build runs nightly, here as one oracle-checked plan."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 150)
+    kept = docs.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang")
+    )
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id") * 1_000_003 + 12_289, F.lit(1_000_000_007)), F.lit(100)
+    )
+    assigned = kept.select(
+        "lang",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+    return assigned.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))

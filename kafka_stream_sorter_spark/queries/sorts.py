@@ -120,3 +120,31 @@ def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     only num_partitions × k rows ever move — SURVEY.md §2.C row `topk`)."""
     events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     return events.orderBy(F.col("value").desc(), F.col("event_id").asc()).limit(100)
+
+
+@query(
+    "sort_multikey_nulls",
+    oracle="""
+    SELECT event_id, event_type,
+           CASE WHEN value < 5 THEN NULL ELSE value END AS capped_value
+    FROM events
+    ORDER BY event_type ASC,
+             CASE WHEN value < 5 THEN NULL ELSE value END DESC NULLS LAST,
+             event_id ASC
+    """,
+)
+def sort_multikey_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key sort with mixed directions and explicit null placement
+    — everything the reference's sorter cannot express (single key,
+    ascending, no nulls in its data model — SURVEY.md §2.B last rows).
+    Still one range exchange + per-partition external sort; the null bucket
+    ordering is part of the range partitioner's key, not a post-pass."""
+    events = load_table(spark, sf_dir, "events")
+    capped = F.when(F.col("value") < 5, None).otherwise(F.col("value"))
+    return events.select(
+        "event_id", "event_type", capped.alias("capped_value")
+    ).orderBy(
+        F.col("event_type").asc(),
+        F.col("capped_value").desc_nulls_last(),
+        F.col("event_id").asc(),
+    )

@@ -182,3 +182,32 @@ def stream_sorted_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks content conservation (count + values); ordering itself is
     asserted by tests/test_streaming.py via the sort keys."""
     return ops.drain_sorted(ops.stream_events(spark, sf_dir), ["event_id"])
+
+
+@query(
+    "stream_static_join",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {SUM_MICROS_SQL}         AS sum_value_micros
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ static-dim enrichment then aggregate: the event stream is
+    joined to the (broadcast) customer dimension per micro-batch — no
+    stream-side state for the join, only for the downstream aggregate. The
+    standard 100 TB enrichment topology: dims broadcast to every executor,
+    the unbounded side never shuffles for the join."""
+    from kafka_stream_sorter_spark.sources.parquet import load_table
+
+    static = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = ops.stream_events(spark, sf_dir).join(
+        F.broadcast(static), F.col("user_id") == F.col("c_custkey")
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(money_micros(F.col("value"))).alias("sum_value_micros"),
+    )
+    return ops.drain_to_table(agg, "complete")
