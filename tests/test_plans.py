@@ -66,3 +66,54 @@ def test_keyed_fanout_has_no_single_partition_window(spark, sf_dir):
 
 def test_token_freq_topn_avoids_vocab_sort(spark, sf_dir):
     assert_plan_contains(QUERIES["text_token_freq"](spark, sf_dir), "TakeOrderedAndProject")
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    assert_plan_contains(QUERIES["tpch_q4_exists"](spark, sf_dir), "LeftSemi")
+
+
+def test_q22_not_exists_is_anti_join(spark, sf_dir):
+    assert_plan_contains(QUERIES["tpch_q22_idle_balance"](spark, sf_dir), "LeftAnti")
+
+
+def test_q5_snowflake_broadcasts_dims(spark, sf_dir):
+    plan = assert_plan_contains(QUERIES["tpch_q5_region"](spark, sf_dir), "BroadcastHashJoin")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q10_topk_avoids_global_sort(spark, sf_dir):
+    assert_plan_contains(QUERIES["tpch_q10_returns"](spark, sf_dir), "TakeOrderedAndProject")
+
+
+def test_q17_correlation_is_window_not_selfjoin(spark, sf_dir):
+    # per-part average must come from one window pass, not a second
+    # lineitem scan joined back
+    plan = assert_plan_contains(QUERIES["tpch_q17_small_qty"](spark, sf_dir), "Window")
+    assert plan.count("FileScan parquet") <= 2  # lineitem + part, no re-scan
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    # lag-window, sum-window, AND the final (user_id, session_id) groupBy all
+    # reuse one hashpartitioning(user_id) exchange — the whole query is one
+    # shuffle of the events table
+    df = QUERIES["window_sessionize"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 2  # lag frame + running-sum frame
+    assert plan.count("Exchange") == 1
+
+
+def test_salted_agg_is_two_stage(spark, sf_dir):
+    # partial+final per stage = 4 HashAggregate operators
+    plan = assert_plan_contains(QUERIES["agg_salted_skew"](spark, sf_dir), "HashAggregate")
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_ann_vectorized_uses_arrow_batches(spark, sf_dir):
+    assert_plan_contains(QUERIES["ann_vectorized"](spark, sf_dir), "MapInPandas")
+
+
+def test_pipeline_pushes_quality_gate_to_scan(spark, sf_dir):
+    plan = assert_plan_contains(
+        QUERIES["pipeline_quality_dedup_split"](spark, sf_dir), "PushedFilters"
+    )
+    assert "n_chars" in plan.split("PushedFilters")[1].splitlines()[0]
