@@ -878,3 +878,78 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+@query(
+    "scalar_array_struct",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(event_id))                        AS event_ids,
+           list_sort(list_distinct(list(event_type)))       AS types_seen,
+           CAST(len(list(event_id)) AS BIGINT)              AS n,
+           list_sort(list(event_id))[1]                     AS first_event,
+           list_sort(list(event_id))[-1]                    AS last_event
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def scalar_array_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type surface: per-user event arrays via collect_list (sorted
+    for determinism — collect order is partition-dependent), distinct type
+    sets, and element access. One shuffle; arrays stay JVM-side. The
+    100 TB caveat is the per-group array size — bound it upstream (here
+    groups are user-sized) or switch to windowed slices."""
+    e = load_table(spark, sf_dir, "events")
+    ids = F.sort_array(F.collect_list("event_id"))
+    return e.groupBy("user_id").agg(
+        ids.alias("event_ids"),
+        F.array_sort(F.array_distinct(F.collect_list("event_type"))).alias("types_seen"),
+        F.count(F.lit(1)).alias("n"),
+        ids.getItem(0).alias("first_event"),
+        F.element_at(ids, -1).alias("last_event"),
+    )
+
+
+@query(
+    "udf_scalar_pandas",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_py,
+           CAST(length(text) - length(regexp_replace(text, '[aeiouAEIOU]', '', 'g')) AS BIGINT)
+             AS n_vowels,
+           CAST(CASE WHEN length(text) > 0
+                     THEN (length(text) - length(regexp_replace(text, '[aeiouAEIOU]', '', 'g')))
+                          * 1000000 // length(text)
+                     ELSE 0 END AS BIGINT) AS vowel_ratio_micro
+    FROM documents
+    """,
+)
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDF extension surface, done the fast way: an Arrow-batched
+    scalar pandas_udf (vectorized pandas str ops per batch) — never a
+    row-at-a-time Python UDF. Exists to pin the extension-point plumbing;
+    anything expressible in built-ins (like this) should stay JVM-side."""
+    import pandas
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: annotations must be real types, not strings — this module has
+    # `from __future__ import annotations`, and pyspark resolves UDF type
+    # hints via get_type_hints in the function's globals, where a
+    # function-local `pd` alias would not exist.
+    def _text_stats(s: "pandas.Series") -> "pandas.DataFrame":
+        n_chars = s.str.len().astype("int64")
+        n_vowels = s.str.count(r"[aeiouAEIOU]").astype("int64")
+        ratio = (n_vowels * 1_000_000).floordiv(n_chars.where(n_chars > 0, 1))
+        ratio = ratio.where(n_chars > 0, 0)
+        return pandas.DataFrame(
+            {"n_chars_py": n_chars, "n_vowels": n_vowels, "vowel_ratio_micro": ratio}
+        )
+
+    _text_stats.__annotations__ = {"s": pandas.Series, "return": pandas.DataFrame}
+    text_stats = pandas_udf(_text_stats, "n_chars_py long, n_vowels long, vowel_ratio_micro long")
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text_stats(F.col("text")).alias("s")
+    return docs.select("doc_id", stats).select(
+        "doc_id", "s.n_chars_py", "s.n_vowels", "s.vowel_ratio_micro"
+    )
