@@ -89,32 +89,68 @@ def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.9
 ) -> DataFrame:
     """Character-n-gram Jaccard near-dup pairs — the word-order-insensitive,
-    typo-tolerant sibling of :func:`jaccard_pairs` (word shingles miss
-    dups that differ by punctuation/casing inside tokens; char shingles
-    don't). Same scale shape: candidates blocked on (lang, length-bucket),
-    size bound applied before the set intersection."""
+    typo-tolerant sibling of :func:`jaccard_pairs`.
+
+    Char shingle sets are ~10× larger than word sets, so the blocked
+    all-pairs array-intersect that is fine for word Jaccard is the
+    bottleneck here. This uses **prefix filtering** (the standard
+    set-similarity-join pruning): order every doc's grams by global
+    document frequency (rarest first, gram id as tie-break); two sets with
+    J ≥ t MUST share a gram within their first ``|s| − ⌈t·|s|⌉ + 1`` grams
+    under any fixed global order. Candidate pairs therefore come from an
+    equi-join on *prefix* grams only — rare grams, so heavy-hitter n-grams
+    like "the" never explode the join — and the exact array-intersect
+    verification runs on candidates, not on the blocked cross product.
+    Correctness is independent of the pruning (the DuckDB oracle computes
+    the naive blocked form)."""
     g = docs.select(
         "doc_id",
         "lang",
         F.floor(F.col("n_chars") / 100).cast("long").alias("len_bucket"),
         char_ngram_hashes(F.col("text"), n).alias("grams"),
+    ).persist()
+
+    ex = g.select("doc_id", "lang", "len_bucket", F.size("grams").alias("n_grams"),
+                  F.explode("grams").alias("gram"))
+    df_counts = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("gram").asc())
+    prefix_len = (F.col("n_grams") - F.ceil(F.col("n_grams") * threshold) + 1).cast("int")
+    prefix = (
+        ex.join(df_counts, "gram")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= prefix_len)
+        .select("doc_id", "lang", "len_bucket", "n_grams", "gram")
     )
-    a, b = g.alias("a"), g.alias("b")
-    na, nb = F.size(F.col("a.grams")), F.size(F.col("b.grams"))
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = na + nb - inter
+
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.gram") == F.col("pb.gram"))
+            & (F.col("pa.lang") == F.col("pb.lang"))
+            & (F.col("pa.len_bucket") == F.col("pb.len_bucket"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            # size bound: J(A,B) ≥ t ⟹ min|·| ≥ t·max|·|
+            & (
+                F.least(F.col("pa.n_grams"), F.col("pb.n_grams"))
+                >= F.greatest(F.col("pa.n_grams"), F.col("pb.n_grams")) * threshold
+            ),
+        )
+        .select(F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
+    union = F.size("grams_a") + F.size("grams_b") - inter
     jac = inter / union
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.least(na, nb) >= F.greatest(na, nb) * threshold),
-        )
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            "doc_a",
+            "doc_b",
             inter.cast("long").alias("n_common"),
             union.cast("long").alias("n_union"),
             jac.alias("jaccard"),
