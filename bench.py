@@ -68,9 +68,18 @@ def main() -> None:
             reference_records(spark, ref_rows).write.mode("overwrite").parquet(tmp)
         timings["ref_produce"] = round(time.perf_counter() - t0, 3)
         src = spark.read.parquet(tmp)
-        for key in ("id", "name", "continent"):
+        # continent carries a tie-break: range-partitioning a 6-value key
+        # alone puts each key's ties in ONE partition (≤6 of 32 tasks do all
+        # the work — the skew every low-cardinality global sort hits at
+        # scale). The tie-break makes ranges fine-grained; same spec as the
+        # engine's sort_low_cardinality (reference tie order is arbitrary).
+        for key, order in (
+            ("id", ["id"]),
+            ("name", ["name"]),
+            ("continent", ["continent", "id"]),
+        ):
             t0 = time.perf_counter()
-            src.orderBy(key).write.format("noop").mode("overwrite").save()
+            src.orderBy(*order).write.format("noop").mode("overwrite").save()
             timings[f"ref_sort_{key}"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -85,65 +85,61 @@ def char_ngram_hashes(s: Column, n: int = 3) -> Column:
     return F.array_sort(F.array_distinct(F.transform(safe, char_poly_hash)))
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.9
-) -> DataFrame:
-    """Character-n-gram Jaccard near-dup pairs — the word-order-insensitive,
-    typo-tolerant sibling of :func:`jaccard_pairs`.
+def _prefix_filtered_jaccard(sets: DataFrame, threshold: float) -> DataFrame:
+    """Exact blocked Jaccard pairs via **prefix filtering** (the standard
+    set-similarity-join pruning — Bayardo et al. style).
 
-    Char shingle sets are ~10× larger than word sets, so the blocked
-    all-pairs array-intersect that is fine for word Jaccard is the
-    bottleneck here. This uses **prefix filtering** (the standard
-    set-similarity-join pruning): order every doc's grams by global
-    document frequency (rarest first, gram id as tie-break); two sets with
-    J ≥ t MUST share a gram within their first ``|s| − ⌈t·|s|⌉ + 1`` grams
-    under any fixed global order. Candidate pairs therefore come from an
-    equi-join on *prefix* grams only — rare grams, so heavy-hitter n-grams
-    like "the" never explode the join — and the exact array-intersect
-    verification runs on candidates, not on the blocked cross product.
-    Correctness is independent of the pruning (the DuckDB oracle computes
-    the naive blocked form)."""
-    g = docs.select(
+    ``sets`` must have columns (doc_id, lang, len_bucket, items:array<long>).
+    Order every doc's items by global document frequency (rarest first,
+    item id as tie-break); two sets with J ≥ t MUST share an item within
+    their first ``|s| − ⌈t·|s|⌉ + 1`` items under any fixed global order.
+    Candidate pairs therefore come from an equi-join on *prefix* items only
+    — rare ones, so heavy hitters ("the", common shingles) never explode
+    the join — and the exact array-intersect verification runs on
+    candidates, not on the blocked cross product. Results are identical to
+    the naive blocked all-pairs form (which is what the DuckDB oracles
+    compute); pruning affects cost only."""
+    g = sets.persist()
+
+    ex = g.select(
         "doc_id",
         "lang",
-        F.floor(F.col("n_chars") / 100).cast("long").alias("len_bucket"),
-        char_ngram_hashes(F.col("text"), n).alias("grams"),
-    ).persist()
-
-    ex = g.select("doc_id", "lang", "len_bucket", F.size("grams").alias("n_grams"),
-                  F.explode("grams").alias("gram"))
-    df_counts = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("gram").asc())
-    prefix_len = (F.col("n_grams") - F.ceil(F.col("n_grams") * threshold) + 1).cast("int")
+        "len_bucket",
+        F.size("items").alias("n_items"),
+        F.explode("items").alias("item"),
+    )
+    df_counts = ex.groupBy("item").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("item").asc())
+    prefix_len = (F.col("n_items") - F.ceil(F.col("n_items") * threshold) + 1).cast("int")
     prefix = (
-        ex.join(df_counts, "gram")
+        ex.join(df_counts, "item")
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= prefix_len)
-        .select("doc_id", "lang", "len_bucket", "n_grams", "gram")
+        .select("doc_id", "lang", "len_bucket", "n_items", "item")
     )
 
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     cand = (
         pa.join(
             pb,
-            (F.col("pa.gram") == F.col("pb.gram"))
+            (F.col("pa.item") == F.col("pb.item"))
             & (F.col("pa.lang") == F.col("pb.lang"))
             & (F.col("pa.len_bucket") == F.col("pb.len_bucket"))
             & (F.col("pa.doc_id") < F.col("pb.doc_id"))
             # size bound: J(A,B) ≥ t ⟹ min|·| ≥ t·max|·|
             & (
-                F.least(F.col("pa.n_grams"), F.col("pb.n_grams"))
-                >= F.greatest(F.col("pa.n_grams"), F.col("pb.n_grams")) * threshold
+                F.least(F.col("pa.n_items"), F.col("pb.n_items"))
+                >= F.greatest(F.col("pa.n_items"), F.col("pb.n_items")) * threshold
             ),
         )
         .select(F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b"))
         .distinct()
     )
 
-    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
-    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
-    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
-    union = F.size("grams_a") + F.size("grams_b") - inter
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("items").alias("items_a"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("items").alias("items_b"))
+    inter = F.size(F.array_intersect(F.col("items_a"), F.col("items_b")))
+    union = F.size("items_a") + F.size("items_b") - inter
     jac = inter / union
     return (
         cand.join(ga, "doc_a")
@@ -159,38 +155,30 @@ def ngram_jaccard_pairs(
     )
 
 
-def jaccard_pairs(docs: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Blocked exact n-gram (word-set) Jaccard near-dup pairs.
-
-    Candidates are generated by an equi-join on (lang, length-bucket) —
-    quadratic cost only within a block, never across the corpus — then cut
-    by the size bound (J(A,B) ≥ t ⟹ min|·|/max|·| ≥ t) *before* the
-    array-intersect, so the expensive set intersection runs only on pairs
-    that can still pass. Jaccard is |A∩B| / (|A|+|B|-|A∩B|) over distinct
-    word sets; the int/int division is bit-deterministic cross-engine."""
-    a = _word_sets(docs).alias("a")
-    b = _word_sets(docs).alias("b")
-    na, nb = F.size(F.col("a.words")), F.size(F.col("b.words"))
-    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
-    union = na + nb - inter
-    jac = inter / union
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.least(na, nb) >= F.greatest(na, nb) * threshold),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            inter.cast("long").alias("n_common"),
-            union.cast("long").alias("n_union"),
-            jac.alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.9
+) -> DataFrame:
+    """Character-n-gram Jaccard near-dup pairs — the word-order-insensitive,
+    typo-tolerant sibling of :func:`jaccard_pairs`. Char shingle sets are
+    ~10× larger than word sets, so prefix filtering
+    (:func:`_prefix_filtered_jaccard`) is what keeps this sub-quadratic."""
+    sets = docs.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        char_ngram_hashes(F.col("text"), n).alias("items"),
     )
+    return _prefix_filtered_jaccard(sets, threshold)
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Blocked exact word-set Jaccard near-dup pairs, prefix-filtered
+    (:func:`_prefix_filtered_jaccard`): candidates share a rare prefix
+    token within a (lang, length-bucket) block; exact |A∩B| / (|A|+|B|−|A∩B|)
+    over distinct hashed word sets verifies. The int/int division is
+    bit-deterministic cross-engine."""
+    sets = _word_sets(docs).withColumnRenamed("words", "items")
+    return _prefix_filtered_jaccard(sets, threshold)
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:

@@ -19,22 +19,47 @@ def count_violations(df: DataFrame, *keys: str, ascending: bool = True) -> int:
     """Number of adjacent pairs out of order under ORDER BY keys.
 
     Full-table generalization of ``validate_id_sort`` /
-    ``validate_lexicographic_sort`` (test_validation.sh:21-113). Uses a
-    single-partition window — acceptable for validation at test scale; at
-    production scale one would check per range-partition plus boundary rows.
+    ``validate_lexicographic_sort`` (test_validation.sh:21-113), distributed
+    the way it must be at 100 TB: adjacent pairs *within* each produced
+    partition are checked by a per-partition window (fully parallel), and
+    the partition *boundaries* — one (first, last) key pair per partition —
+    are compared on the driver, num_partitions values, never rows. No
+    single-partition window anywhere. Assumes non-null sort keys (true of
+    every fixture and of the reference's data model).
     """
     # Capture the order the DataFrame actually produces: mono ids are
     # (partition_id << 33) + in-partition offset, and a range-partitioned
-    # sort emits partitions in key order — so ascending mono id == produced
-    # row order. Checking against a window ordered by the sort key itself
-    # would be self-fulfilling.
-    keyed = df.select(F.struct(*[F.col(k) for k in keys]).alias("k")).withColumn(
-        "_pos", F.monotonically_increasing_id()
+    # sort emits partitions in key order — so ascending (pid, mono id) ==
+    # produced row order. Checking against a window ordered by the sort key
+    # itself would be self-fulfilling.
+    keyed = (
+        df.select(F.struct(*[F.col(k) for k in keys]).alias("k"))
+        .withColumn("_pos", F.monotonically_increasing_id())
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()  # two passes (within + boundaries) must see one ordering
     )
-    w = Window.orderBy("_pos")
-    prev = F.lag("k").over(w)
-    bad = (F.col("k") < prev) if ascending else (F.col("k") > prev)
-    return keyed.select(F.coalesce(bad, F.lit(False)).alias("bad")).filter("bad").count()
+    try:
+        w = Window.partitionBy("_pid").orderBy("_pos")
+        prev = F.lag("k").over(w)
+        bad = (F.col("k") < prev) if ascending else (F.col("k") > prev)
+        within = (
+            keyed.select(F.coalesce(bad, F.lit(False)).alias("bad")).filter("bad").count()
+        )
+
+        bounds = (
+            keyed.groupBy("_pid")
+            .agg(F.min_by("k", "_pos").alias("first_k"), F.max_by("k", "_pos").alias("last_k"))
+            .orderBy("_pid")
+            .collect()
+        )
+    finally:
+        keyed.unpersist()
+    cross = 0
+    for left, right in zip(bounds, bounds[1:]):
+        lo, hi = tuple(left["last_k"]), tuple(right["first_k"])
+        if (lo > hi) if ascending else (lo < hi):
+            cross += 1
+    return within + cross
 
 
 def assert_sorted(df: DataFrame, *keys: str, ascending: bool = True) -> None:
