@@ -211,3 +211,58 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(money_micros(F.col("value"))).alias("sum_value_micros"),
     )
     return ops.drain_to_table(agg, "complete")
+
+
+@query(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT v.event_id AS view_id, c.event_id AS click_id,
+           v.user_id AS user_id,
+           CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+    """,
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join: clicks within 2 h after a
+    view by the same user, both sides unbounded. Watermarks bound the join
+    state — Spark retains only views younger than (watermark − 2 h), so
+    state size tracks the time window, not the stream length. The batch
+    twin is join_interval_bucketed; same oracle semantics."""
+    ev = ops.stream_events(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            """
+            v_user = c_user AND
+            click_ts > view_ts AND
+            click_ts <= view_ts + interval 2 hours
+            """
+        ),
+    ).select(
+        "view_id",
+        "click_id",
+        F.col("v_user").alias("user_id"),
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("lag_us"),
+    )
+    return ops.drain_to_table(joined, "append")
