@@ -85,6 +85,9 @@ def brute_force_topk_vectorized(
         .select("vec_id", "embedding")
         .collect()
     )
+    if not qrows:  # no query vectors exist in the corpus → empty result
+        spark = embeddings.sparkSession
+        return spark.createDataFrame([], "query_id long, neighbor_id long, rank long")
     q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     Q = np.array([list(r.embedding) for r in qrows], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
