@@ -953,3 +953,113 @@ def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", stats).select(
         "doc_id", "s.n_chars_py", "s.n_vowels", "s.vowel_ratio_micro"
     )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) big
+      ON c_custkey = big.o_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer against a filtered fact: unmatched customers survive with
+    null order columns. The filter cannot be pushed below the outer join's
+    null-producing side without changing results — Catalyst keeps it inside,
+    which is the correct plan, and the probe side still streams."""
+    customer = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return customer.join(big, customer.c_custkey == big.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT cn.nationkey AS c_side, sn.nationkey AS s_side,
+           cn.n_cust, sn.n_supp
+    FROM (SELECT c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_cust
+          FROM customer GROUP BY 1) cn
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_supp
+          FROM supplier GROUP BY 1) sn
+      ON cn.nationkey = sn.nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer over two aggregates: nations with customers but no
+    suppliers (and vice versa) survive one-sided. Full outer cannot
+    broadcast either side — it shuffles both, which AQE may still
+    skew-split; correctness of null rows is the point here."""
+    cn = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        cn.alias("cn")
+        .join(sn.alias("sn"), F.col("cn.nationkey") == F.col("sn.nationkey"), "full_outer")
+        .select(
+            F.col("cn.nationkey").alias("c_side"),
+            F.col("sn.nationkey").alias("s_side"),
+            "n_cust",
+            "n_supp",
+        )
+    )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH e AS (
+      SELECT event_id,
+             CASE WHEN value < 5 THEN NULL ELSE event_type END AS grp
+      FROM events
+    ),
+    d AS (SELECT DISTINCT grp FROM e)
+    SELECT d.grp AS grp, CAST(count(*) AS BIGINT) AS n_events
+    FROM e JOIN d ON e.grp IS NOT DISTINCT FROM d.grp
+    GROUP BY d.grp
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` ≡ IS NOT DISTINCT FROM): null keys
+    match each other instead of vanishing — the semantics a plain equi-join
+    silently drops. Spark plans `<=>` as a hashable equi-condition, so this
+    stays a hash join, not a nested loop."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("value") < 5, None).otherwise(F.col("event_type")).alias("grp"),
+    )
+    d = e.select("grp").distinct().select(F.col("grp").alias("d_grp"))
+    return (
+        e.join(d, e.grp.eqNullSafe(d.d_grp))
+        .groupBy("d_grp")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("d_grp").alias("grp"), "n_events")
+    )
+
+
+@query(
+    "topk_paged",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events ORDER BY value DESC, event_id LIMIT 50 OFFSET 100
+    """,
+)
+def topk_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination: deterministic ORDER BY + LIMIT/OFFSET. Spark evaluates
+    offset+limit as a single top-(150) then drops the first 100 — still
+    TakeOrdered-style, never a full global sort."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return (
+        e.orderBy(F.col("value").desc(), F.col("event_id").asc()).offset(100).limit(50)
+    )
