@@ -1063,3 +1063,66 @@ def topk_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.orderBy(F.col("value").desc(), F.col("event_id").asc()).offset(100).limit(50)
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last_24h,
+           CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS sum_last_24h_micros
+    FROM events
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frame: per-user trailing-24 h count and
+    sum — a frame ROWS cannot express when events are irregularly spaced.
+    Ordering on integer epoch micros keeps the frame bound arithmetic
+    exact and identical in both engines; ties (same timestamp) share the
+    frame, which RANGE defines away as a determinism hazard."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us)
+        .rangeBetween(-86_400_000_000, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_24h"),
+        F.sum(money_micros(F.col("value"))).over(w).alias("sum_last_24h_micros"),
+    )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ntile(4) OVER w AS BIGINT)  AS quartile,
+           round(percent_rank() OVER w, 8)  AS pct_rank,
+           round(cume_dist() OVER w, 8)     AS cum_dist
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    per user. The (value, event_id) ordering is total, so rank-derived
+    ratios are exact k/(n-1)-style rationals — identical IEEE doubles in
+    both engines, rounded only as belt-and-braces."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    return e.select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("cum_dist"),
+    )
