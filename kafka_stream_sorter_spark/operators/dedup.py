@@ -287,3 +287,55 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     return per_bit.groupBy("doc_id").agg(
         F.sum(F.when(F.col("sv") >= 0, F.col("mask")).otherwise(0)).cast("long").alias("simhash")
     )
+
+
+def connected_dedup_groups(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Full connected components over the duplicate graph — the fixpoint
+    that :func:`minhash_lsh_groups` takes one step of.
+
+    Iterative min-label propagation: every node's label starts as its own
+    doc_id; each round it takes the min of its label and its neighbors'
+    labels, until no label changes (≤ graph-diameter rounds; near-dup
+    graphs are star-like, so 2-4 in practice). This is the DataFrame form
+    of an iterative graph algorithm: one join + groupBy per round, a
+    driver-side convergence check on a scalar count, and an eager
+    localCheckpoint per round so the plan lineage stays O(1) instead of
+    growing by one join per iteration (the classic iterative-Spark trap).
+
+    ``nodes``: (doc_id); ``edges``: (doc_a, doc_b) undirected pairs.
+    Returns (doc_id, component_id) with component_id = min doc_id in the
+    component — singleton docs map to themselves.
+    """
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("neigh_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("component_id"))

@@ -653,3 +653,50 @@ def pipeline_quality_dedup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
     )
     return assigned.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "dedup_connected_groups",
+    oracle=f"""
+    WITH RECURSIVE sig AS ({SQL_MINHASH_SIG}),
+    buckets AS ({SQL_LSH_BUCKETS}),
+    cand AS (
+      SELECT DISTINCT rep AS doc_a, doc_id AS doc_b FROM (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bucket) AS rep
+        FROM buckets
+      ) WHERE rep < doc_id
+    ),
+    ws AS (SELECT doc_id, {SQL_WORD_HASHES} AS words FROM documents),
+    edges AS (
+      SELECT doc_a, doc_b
+      FROM cand
+      JOIN ws wa ON doc_a = wa.doc_id
+      JOIN ws wb ON doc_b = wb.doc_id
+      WHERE len(list_intersect(wa.words, wb.words)) /
+            (len(wa.words) + len(wb.words) - len(list_intersect(wa.words, wb.words))) >= 0.9
+    ),
+    bi AS (
+      SELECT doc_a AS src, doc_b AS dst FROM edges
+      UNION
+      SELECT doc_b, doc_a FROM edges
+    ),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT bi.src, reach.r FROM bi JOIN reach ON bi.dst = reach.doc_id
+    )
+    SELECT doc_id, CAST(min(r) AS BIGINT) AS component_id
+    FROM reach GROUP BY doc_id
+    """,
+)
+def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full connected components over the MinHash-LSH duplicate graph:
+    iterative min-label propagation to a fixpoint
+    (operators/dedup.py:connected_dedup_groups) — the iterative-algorithm
+    surface done DataFrame-style (per-round join + localCheckpoint, driver
+    checks a scalar). The oracle is a recursive CTE computing the same
+    transitive closure; star-assignment (dedup_minhash_groups) is the
+    one-step approximation of this."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup.minhash_lsh_pairs(docs, threshold=0.9).select("doc_a", "doc_b")
+    return dedup.connected_dedup_groups(docs.select("doc_id"), edges)
