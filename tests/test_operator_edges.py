@@ -52,3 +52,25 @@ def test_vectorized_ann_k_larger_than_corpus(spark, sf_dir):
     rows = out.collect()
     assert 0 < len(rows) <= 2
     assert sorted({r.rank for r in rows}) == sorted(r.rank for r in rows)
+
+
+def test_connected_components_chain_and_islands(spark):
+    from kafka_stream_sorter_spark.operators.dedup import connected_dedup_groups
+
+    # chain 1-2-3-4-5 (diameter > 1 forces multiple propagation rounds),
+    # pair 10-11, singleton 20
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 20]], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {r.doc_id: r.component_id for r in connected_dedup_groups(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_no_edges(spark):
+    from kafka_stream_sorter_spark.operators.dedup import connected_dedup_groups
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], ["doc_id"])
+    edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    got = {r.doc_id: r.component_id for r in connected_dedup_groups(nodes, edges).collect()}
+    assert got == {i: i for i in range(5)}
