@@ -700,3 +700,48 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     edges = dedup.minhash_lsh_pairs(docs, threshold=0.9).select("doc_a", "doc_b")
     return dedup.connected_dedup_groups(docs.select("doc_id"), edges)
+
+
+@query(
+    "udf_grouped_regression",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(value, epoch_us(ts) / 1000000.0), 4) AS slope,
+           round(regr_intercept(value, epoch_us(ts) / 1000000.0), 4) AS intercept
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def udf_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-user least-squares fit of value over
+    event time — custom aggregation logic that has no built-in aggregate.
+    One shuffle on user_id, then each group is handed to Python as one
+    Arrow batch; the closed-form normal-equation arithmetic in float64
+    matches DuckDB's regr_slope/regr_intercept to well under the rounding
+    applied on both sides."""
+    import numpy as np
+    import pandas as pd
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["ts"].astype("int64").to_numpy(dtype=np.float64) / 1e9  # ns → s
+        y = pdf["value"].to_numpy(dtype=np.float64)
+        n = len(y)
+        mx, my = x.mean(), y.mean()
+        cov = ((x - mx) * (y - my)).sum()
+        var = ((x - mx) ** 2).sum()
+        slope = cov / var if var > 0 else float("nan")
+        intercept = my - slope * mx
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n": [n],
+                "slope": [round(slope, 4)],
+                "intercept": [round(intercept, 4)],
+            }
+        )
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return e.groupBy("user_id").applyInPandas(
+        fit, "user_id long, n long, slope double, intercept double"
+    )
