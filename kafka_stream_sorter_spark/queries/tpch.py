@@ -378,3 +378,463 @@ def tpch_q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal_micros").alias("total_bal_micros"),
         )
     )
+
+
+@query(
+    "tpch_q2_min_price",
+    oracle="""
+    WITH offers AS (
+      SELECT p_partkey, p_name, s_name, n_name, l_extendedprice,
+             min(l_extendedprice) OVER (PARTITION BY p_partkey) AS best_price
+      FROM lineitem
+      JOIN part     ON p_partkey  = l_partkey
+      JOIN supplier ON s_suppkey  = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE p_type = 'LARGE' AND p_size <= 25
+    )
+    SELECT DISTINCT p_partkey, p_name, s_name, n_name, best_price
+    FROM offers
+    WHERE l_extendedprice = best_price
+    """,
+)
+def tpch_q2_min_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: correlated-min subquery (cheapest supplier per part) as a
+    window min over the join — one shuffle on partkey instead of a per-row
+    probe, all dims broadcast. Fixture delta: no partsupp table, so the
+    "cost" is the supplier's observed sale price (raw stored double — the
+    min and the equality compare identical bits in both engines); ties at
+    the min keep every tying supplier, like real Q2."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 25)
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("p_partkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .withColumn("best_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("best_price"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "best_price")
+        .dropDuplicates()
+    )
+
+
+@query(
+    "tpch_q7_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, yr,
+           CAST(sum(vol) AS BIGINT) AS revenue_micros
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS yr,
+             {DISC_PRICE_MICROS_SQL} AS vol
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey  = l_suppkey
+      JOIN customer ON c_custkey  = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+          OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, yr
+    """,
+)
+def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bilateral nation-pair trade volume by year. The nation
+    dim joins twice under different roles (supplier side / customer side)
+    — both broadcast, and the pair disjunction evaluates post-join in
+    codegen. Fact-side shuffles are only lineitem⋈orders⋈customer."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")
+    ) | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), customer.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("yr", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "yr")
+        .agg(
+            F.sum(money_micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_micros"
+            )
+        )
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    SELECT yr,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END) AS BIGINT)
+             AS nation_micros,
+           CAST(sum(vol) AS BIGINT) AS total_micros
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             n1.n_name AS supp_nation,
+             {DISC_PRICE_MICROS_SQL} AS vol
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n2.n_regionkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+    ) all_sales
+    GROUP BY yr
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one nation's market share within a region's orders for a
+    part type. Emits numerator and denominator as exact integer micros
+    (the share division is left to the consumer — a cross-engine double
+    division would be the only nondeterministic step). 8-way join: all
+    dims broadcast, facts shuffle once each."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = money_micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), customer.c_nationkey == F.col("n2_key"))
+        .join(F.broadcast(region), F.col("n2_region") == region.r_regionkey)
+        .withColumn("yr", F.year("o_orderdate").cast("int"))
+        .withColumn("vol", vol)
+        .groupBy("yr")
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("vol")).otherwise(0)).alias(
+                "nation_micros"
+            ),
+            F.sum("vol").alias("total_micros"),
+        )
+    )
+
+
+@query(
+    "tpch_q9_profit",
+    oracle="""
+    SELECT n_name AS supp_nation, CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)
+                                - p_retailprice * l_quantity * 0.1) * 1000000 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS profit_micros
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY supp_nation, yr
+    """,
+)
+def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: product-line profit by supplier nation and year. Fixture
+    delta: no partsupp.ps_supplycost, so cost is proxied as 10% of
+    p_retailprice per unit — same expression text both sides, so each row's
+    double arithmetic is bit-identical before the micros floor. The p_name
+    LIKE lands in the part scan; part/supplier/nation broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    amount = money_micros(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+            amount.alias("amount_micros"),
+        )
+        .groupBy("supp_nation", "yr")
+        .agg(F.sum("amount_micros").alias("profit_micros"))
+    )
+
+
+@query(
+    "tpch_q11_value_parts",
+    oracle=f"""
+    WITH pv AS (
+      SELECT l_partkey, CAST(sum({DISC_PRICE_MICROS_SQL}) AS BIGINT) AS value_micros
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(sum(value_micros) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_parts FROM pv)
+    SELECT l_partkey, value_micros
+    FROM pv CROSS JOIN tot
+    WHERE value_micros * n_parts * 2 > 3 * total
+    """,
+)
+def tpch_q11_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: group-and-threshold against a global scalar — parts
+    whose inventory value exceeds 1.5× the mean part share. The threshold is
+    a broadcast one-row cross join (a scalar subquery's physical form) and
+    the compare stays in exact integer math (2×value×n > 3×total), so no
+    fraction-of-total double appears. Scale-invariant selectivity: always
+    picks the heavy tail whatever the part count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(money_micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "value_micros"
+            )
+        )
+    )
+    tot = pv.agg(
+        F.sum("value_micros").alias("total"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        pv.join(F.broadcast(tot))
+        .filter(F.col("value_micros") * F.col("n_parts") * 2 > 3 * F.col("total"))
+        .select("l_partkey", "value_micros")
+    )
+
+
+@query(
+    "tpch_q12_late_priority",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def tpch_q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: two-class conditional counts over late shipments.
+    Fixture delta: no l_shipmode/l_commitdate/l_receiptdate — "late" is
+    shipped ≥60 days after order date, classed by priority, grouped by
+    returnflag (the shipmode stand-in). The shipdate range filter pushes
+    into the lineitem scan; the +60-day comparison is a post-join residual."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q13_custdist",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: customer distribution by order count — a left outer join
+    (customers with zero orders survive as c_count=0) feeding two stacked
+    aggregations. The join condition carries the priority exclusion (the
+    o_comment NOT LIKE stand-in) so excluded orders count as absent, not
+    as dropped customers. count(o_orderkey) counts only matched rows."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 4, 7, 10, 14, 23, 25, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1500)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier counts per part descriptor with a
+    NOT-IN supplier exclusion. Fixture delta: no partsupp — supply
+    relationships come from lineitem; the complaints filter is proxied by
+    low account balance. The NOT IN becomes a broadcast anti join (the
+    excluded set is tiny); countDistinct shuffles once on the group keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 7, 10, 14, 23, 25, 45)
+    )
+    excluded = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 1500)
+    return (
+        li.join(F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20_excess_share",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey, CAST(sum(supp_qty) AS BIGINT) AS part_qty
+      FROM ps GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM ps JOIN tot USING (l_partkey)
+      WHERE supp_qty * 10 > part_qty * 3
+    )
+    """,
+)
+def tpch_q20_excess_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested aggregation feeding a semi join — suppliers who
+    shipped >30% of any part's yearly volume. Fixture delta: no
+    partsupp.ps_availqty, so "excess" is share of shipped quantity.
+    Quantities are whole-number doubles cast to BIGINT before summing, and
+    the share test is integer cross-multiplication — exact both engines.
+    Plan: two partkey-local aggs (one shuffle), then a broadcast semi join
+    into the tiny supplier dim."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("supp_qty")
+    )
+    tot = ps.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    excess = (
+        ps.join(tot, "l_partkey")
+        .filter(F.col("supp_qty") * 10 > F.col("part_qty") * 3)
+        .select("l_suppkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supplier.join(excess, supplier.s_suppkey == excess.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@query(
+    "tpch_q21_waiting",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey, l_shipdate
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    per_order AS (
+      SELECT l_orderkey, max(l_shipdate) AS max_ship,
+             count(DISTINCT l_suppkey) AS n_supp
+      FROM li GROUP BY l_orderkey
+    )
+    SELECT s_name, CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS numwait
+    FROM li l
+    JOIN per_order p ON l.l_orderkey = p.l_orderkey
+    JOIN supplier ON s_suppkey = l.l_suppkey
+    WHERE p.n_supp >= 2 AND l.l_shipdate = p.max_ship
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: the supplier who held up multi-supplier orders — the
+    reference Q21's EXISTS (another supplier) / NOT EXISTS (anyone later)
+    pair, restated as one per-order aggregate joined back: at 100 TB that
+    is a single orderkey shuffle instead of two correlated self-join
+    probes of lineitem. Fixture delta: no l_commitdate/l_receiptdate, so
+    "kept the order waiting" = shipped last (max l_shipdate); ties at the
+    max blame every tying supplier (deterministic superset)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey, "left_semi")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.count_distinct("l_suppkey").alias("n_supp"),
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("l_shipdate") == F.col("max_ship")))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

@@ -117,3 +117,34 @@ def test_pipeline_pushes_quality_gate_to_scan(spark, sf_dir):
         QUERIES["pipeline_quality_dedup_split"](spark, sf_dir), "PushedFilters"
     )
     assert "n_chars" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_q2_min_is_window_with_broadcast_dims(spark, sf_dir):
+    # correlated min = one window pass over the join, dims all broadcast,
+    # and lineitem is scanned exactly once (no correlated re-probe)
+    plan = assert_plan_contains(QUERIES["tpch_q2_min_price"](spark, sf_dir), "Window")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("FileScan parquet") <= 4  # lineitem + 3 dims
+
+
+def test_q7_both_nation_roles_broadcast(spark, sf_dir):
+    plan = assert_plan_contains(QUERIES["tpch_q7_volume"](spark, sf_dir), "BroadcastHashJoin")
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier + nation x2
+
+
+def test_q13_keeps_outer_join_and_stacked_aggs(spark, sf_dir):
+    plan = assert_plan_contains(QUERIES["tpch_q13_custdist"](spark, sf_dir), "HashAggregate")
+    assert "LeftOuter" in plan or "BroadcastHashJoin LeftOuter" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for both levels
+
+
+def test_q16_not_in_is_anti_join(spark, sf_dir):
+    assert_plan_contains(QUERIES["tpch_q16_supplier_cnt"](spark, sf_dir), "LeftAnti")
+
+
+def test_q20_nested_agg_feeds_semi_join(spark, sf_dir):
+    assert_plan_contains(QUERIES["tpch_q20_excess_share"](spark, sf_dir), "LeftSemi")
+
+
+def test_q21_topk_avoids_global_sort(spark, sf_dir):
+    assert_plan_contains(QUERIES["tpch_q21_waiting"](spark, sf_dir), "TakeOrderedAndProject")
