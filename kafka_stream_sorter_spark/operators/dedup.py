@@ -311,7 +311,18 @@ def connected_dedup_groups(
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    # Only edge-touched vertices can ever change label; every other node is
+    # a singleton component fixed at its own id from round 0. Iterating over
+    # the touched subgraph (dup pairs are a sliver of any real corpus) makes
+    # each round's join proportional to the duplicate graph, not the corpus
+    # — the full node set rejoins once at the end.
+    sym = sym.localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
 
     for _ in range(max_iter):
         neigh = (
@@ -338,4 +349,9 @@ def connected_dedup_groups(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select("doc_id", F.col("label").alias("component_id"))
+    # No broadcast hint: the touched-label map is tiny on clean corpora but
+    # can be a large fraction of a dirty one — AQE picks broadcast vs
+    # shuffle from the actual size at runtime.
+    return nodes.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("component_id")
+    )

@@ -154,3 +154,65 @@ def fingerprints(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame
         F.array_min(rolling).alias("min_kgram_hash"),
         F.array_max(rolling).alias("max_kgram_hash"),
     )
+
+
+def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals, computed array-side so the
+    whole operator is a shuffle-free map stage (no corpus-wide explode):
+    top-token fraction (count of the modal token / total tokens) and
+    duplicate-bigram fraction (1 − distinct bigrams / bigrams). Ratios are
+    micros-scaled exact integers (functions/numeric.py rationale). Per-row
+    cost is O(distinct·total) token comparisons — bounded by document
+    length, irrelevant next to the scan at corpus scale."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    top_n = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda t: t == w)),
+        )
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_tok - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    n_bi = F.size(bigrams)
+    return df.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        top_n.cast("long").alias("top_token_count"),
+        F.floor(top_n / n_tok * 1_000_000).cast("long").alias("top_token_ratio_micro"),
+        F.floor((1 - F.size(F.array_distinct(bigrams)) / n_bi) * 1_000_000)
+        .cast("long")
+        .alias("dup_bigram_ratio_micro"),
+    )
+
+
+# PII patterns restricted to a dialect Java regex and RE2 share (no
+# backrefs, no lookaround); text is lowercased first so the classes stay
+# short. Order matters: emails are scrubbed before phones so the phone
+# pattern can't match digits inside an already-redacted token.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction: count and replace email/phone matches
+    with typed placeholders. Pure JVM regexp (codegen'd map stage); the
+    counts let a pipeline quantify leakage before deciding to drop vs
+    scrub. Returns doc_id, match counts, and the scrubbed text's length
+    and portable hash (the hash pins the exact redacted bytes cross-engine
+    without hauling full text through the compare)."""
+    text = F.lower(F.col(text_col))
+    n_emails = F.regexp_count(text, F.lit(PII_EMAIL_RE))
+    n_phones = F.regexp_count(text, F.lit(PII_PHONE_RE))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(text, PII_EMAIL_RE, "<email>"), PII_PHONE_RE, "<phone>"
+    )
+    return df.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+        char_poly_hash(scrubbed).alias("scrubbed_hash"),
+    )

@@ -745,3 +745,125 @@ def udf_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").applyInPandas(
         fit, "user_id long, n long, slope double, intercept double"
     )
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    b AS (
+      SELECT doc_id, toks, len(toks) AS n_tok,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)),
+                         i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1])
+                  ELSE [] END AS bigrams,
+             list_max(list_transform(list_distinct(toks),
+                        w -> len(list_filter(toks, t -> t = w)))) AS top_n
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(top_n AS BIGINT) AS top_token_count,
+           CAST(floor(top_n / n_tok * 1000000) AS BIGINT) AS top_token_ratio_micro,
+           CAST(CASE WHEN len(bigrams) > 0
+                     THEN floor((1 - len(list_distinct(bigrams)) / len(bigrams)) * 1000000)
+                     ELSE 0 END AS BIGINT) AS dup_bigram_ratio_micro
+    FROM b
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (top-token fraction, duplicate
+    bigram fraction) — operators/text.py:repetition_scores. Shuffle-free
+    map stage: the signals come from array ops inside each row, never a
+    corpus-wide explode."""
+    return text.repetition_scores(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_pii_scrub",
+    oracle=rf"""
+    WITH aug AS (
+      SELECT doc_id,
+             lower(text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END) AS t
+      FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{{2,}}')) AS BIGINT)
+               AS n_emails,
+             CAST(len(regexp_extract_all(t, '[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}')) AS BIGINT)
+               AS n_phones,
+             regexp_replace(regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{{2,}}',
+                                           '<email>', 'g'),
+                            '[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}', '<phone>', 'g') AS s
+      FROM aug
+    )
+    SELECT doc_id, n_emails, n_phones,
+           CAST(length(s) AS BIGINT) AS scrubbed_len,
+           {_sql_poly('s')} AS scrubbed_hash
+    FROM scrubbed
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents — operators/text.py:pii_scrub. The fixture
+    corpus contains no PII, so the query injects deterministic synthetic
+    emails (every 7th doc) and phone numbers (every 11th) before scrubbing;
+    detection counts and the scrubbed text's portable hash prove both the
+    matching and the redaction end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-123-4567")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return text.pii_scrub(aug)
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT event_id, event_type,
+           (event_id * 1000003 + 12289) % 1000000007 % 1000 AS bucket
+    FROM events
+    WHERE (event_id * 1000003 + 12289) % 1000000007 % 1000 <
+          CASE event_type WHEN 'purchase' THEN 1000 WHEN 'signup' THEN 500
+               WHEN 'click' THEN 100 WHEN 'view' THEN 50 ELSE 10 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-class keep rates (keep all
+    purchases, 50% signups, 10% clicks, 5% views, 1% errors — the classic
+    rebalance of a skewed event log before training). The keep decision is
+    the portable key hash against a per-stratum threshold: a pure map
+    stage, reproducible across engines and across incremental runs (new
+    rows never change old keep decisions), unlike seeded RNG sampling."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.pmod(
+        F.pmod(F.col("event_id") * 1_000_003 + 12_289, F.lit(1_000_000_007)), F.lit(1000)
+    )
+    rate = (
+        F.when(F.col("event_type") == "purchase", 1000)
+        .when(F.col("event_type") == "signup", 500)
+        .when(F.col("event_type") == "click", 100)
+        .when(F.col("event_type") == "view", 50)
+        .otherwise(10)
+    )
+    return e.select("event_id", "event_type", bucket.alias("bucket")).filter(
+        F.col("bucket") < rate
+    )
