@@ -278,3 +278,29 @@ def blocked_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> Dat
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def knn_self_join(embeddings: DataFrame, k: int = 3) -> DataFrame:
+    """All-pairs kNN join: every vector's top-k neighbors within its
+    hyperplane bucket — the full-corpus variant of :func:`lsh_topk` (no
+    query subset, so no broadcast side). The bucket-blocked self-join
+    keeps the candidate count at sum(|bucket|²) instead of n², and the
+    per-vector top-k window partitions by query vector over bucket-local
+    candidates only. At 100 TB, LSH_BITS scales the bucket count to keep
+    each block executor-sized; vectors in singleton buckets yield no rows
+    (the standard LSH recall trade — widen with multi-probe)."""
+    emb = _as_double(embeddings).withColumn("bucket", hyperplane_bucket(F.col("embedding")))
+    a, b = emb.alias("a"), emb.alias("b")
+    scored = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.col("a.bucket").alias("bucket"),
+        F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

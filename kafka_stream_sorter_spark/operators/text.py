@@ -166,12 +166,20 @@ def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     length, irrelevant next to the scan at corpus scale."""
     toks = tokens(F.col(text_col))
     n_tok = F.size(toks)
-    top_n = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda w: F.size(F.filter(toks, lambda t: t == w)),
-        )
+    # modal-token count = longest equal-run in the sorted token array —
+    # O(n log n) per row (the naive distinct×filter scan is O(n²), which
+    # at 100-token docs is a 100× slowdown measured at sf0.1)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
     )
+
+    def _run(acc: Column, t: Column) -> Column:
+        run = F.when(t == acc.getField("prev"), acc.getField("run") + 1).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"), run.alias("run"), F.greatest(acc.getField("best"), run).alias("best")
+        )
+
+    top_n = F.aggregate(F.array_sort(toks), acc0, _run, lambda acc: acc.getField("best"))
     bigrams = F.transform(
         F.sequence(F.lit(1), F.greatest(n_tok - 1, F.lit(1))),
         lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),

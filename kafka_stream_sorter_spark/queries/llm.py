@@ -94,7 +94,7 @@ SQL_LSH_BUCKETS = " UNION ALL ".join(
     """,
 )
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.token_stats(load_table(spark, sf_dir, "documents"))
+    return text.token_stats(load_table(spark, sf_dir, "documents", rebalance=True))
 
 
 @query(
@@ -115,7 +115,7 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.quality_scores(load_table(spark, sf_dir, "documents"))
+    return text.quality_scores(load_table(spark, sf_dir, "documents", rebalance=True))
 
 
 @query(
@@ -143,7 +143,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.lang_id(load_table(spark, sf_dir, "documents"))
+    return text.lang_id(load_table(spark, sf_dir, "documents", rebalance=True))
 
 
 @query(
@@ -159,7 +159,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.fingerprints(load_table(spark, sf_dir, "documents"))
+    return text.fingerprints(load_table(spark, sf_dir, "documents", rebalance=True))
 
 
 # ---------------------------------------------------------------------------
@@ -195,7 +195,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-hash dedup ledger: shuffles 16-byte digests, not documents."""
-    return dedup.content_hash_groups(load_table(spark, sf_dir, "documents"))
+    return dedup.content_hash_groups(load_table(spark, sf_dir, "documents", rebalance=True))
 
 
 @query(
@@ -216,7 +216,7 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact word-set Jaccard (candidates = same lang × length
     bucket) — operators/dedup.py:jaccard_pairs."""
-    return dedup.jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.95)
+    return dedup.jaccard_pairs(load_table(spark, sf_dir, "documents", rebalance=True), threshold=0.95)
 
 
 SQL_NGRAM_SETS = f"""
@@ -252,14 +252,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-3-gram Jaccard near-dups (blocked, hashed shingles) — the
     typo/punctuation-tolerant variant of dedup_jaccard —
     operators/dedup.py:ngram_jaccard_pairs."""
-    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), n=3, threshold=0.9)
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents", rebalance=True), n=3, threshold=0.9)
 
 
 @query("dedup_minhash_sig", oracle=SQL_MINHASH_SIG)
 def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-permutation MinHash signatures (portable universal hashing) —
     byte-identical in both engines."""
-    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
+    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents", rebalance=True))
 
 
 @query(
@@ -289,7 +289,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges proposed by LSH banding, exact Jaccard verifies — O(n·bands)
     candidate edges instead of quadratic within-bucket pairs
     (operators/dedup.py:minhash_lsh_pairs)."""
-    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.9)
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents", rebalance=True), threshold=0.9)
 
 
 @query(
@@ -307,7 +307,7 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH dedup-group assignment (doc → canonical doc id): the linear-cost
     materialization a full-corpus dedup pass writes —
     operators/dedup.py:minhash_lsh_groups."""
-    return dedup.minhash_lsh_groups(load_table(spark, sf_dir, "documents"))
+    return dedup.minhash_lsh_groups(load_table(spark, sf_dir, "documents", rebalance=True))
 
 
 @query(
@@ -327,7 +327,7 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signature per document — operators/dedup.py:simhash."""
-    return dedup.simhash(load_table(spark, sf_dir, "documents"), bits=16)
+    return dedup.simhash(load_table(spark, sf_dir, "documents", rebalance=True), bits=16)
 
 
 # ---------------------------------------------------------------------------
@@ -477,7 +477,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-style regex pre-tokenizer counting (letter/digit/punct pieces) —
     operators/text.py:bpe_token_stats."""
-    return text.bpe_token_stats(load_table(spark, sf_dir, "documents"))
+    return text.bpe_token_stats(load_table(spark, sf_dir, "documents", rebalance=True))
 
 
 @query(
@@ -496,7 +496,7 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary top-100 (count desc, token asc tie-break) —
     operators/text.py:token_frequencies."""
-    return text.token_frequencies(load_table(spark, sf_dir, "documents"), top_n=100)
+    return text.token_frequencies(load_table(spark, sf_dir, "documents", rebalance=True), top_n=100)
 
 
 @query(
@@ -523,7 +523,7 @@ def multimodal_byte_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real per-blob feature extraction (8-bin byte histogram) via Arrow
     mapInPandas + numpy — operators/multimodal.py:byte_histogram_features.
     Oracle maps chars to bytes (fixture text is pure ASCII, verified)."""
-    return multimodal.byte_histogram_features(load_table(spark, sf_dir, "documents"))
+    return multimodal.byte_histogram_features(load_table(spark, sf_dir, "documents", rebalance=True))
 
 
 @query(
@@ -543,7 +543,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize step (byte-slice thumbnail stub; pixel resampling needs a
     codec) — operators/multimodal.py:resize_thumbnail. Length + checksum of
     the 16x16x3 slice pin the Arrow plumbing."""
-    return multimodal.resize_thumbnail(load_table(spark, sf_dir, "documents"))
+    return multimodal.resize_thumbnail(load_table(spark, sf_dir, "documents", rebalance=True))
 
 
 # ---------------------------------------------------------------------------
@@ -567,7 +567,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode via Arrow mapInPandas (stubbed codec — see
     operators/multimodal.py; the oracle replicates the stub arithmetic
     from the byte length, proving the Spark-side plumbing end-to-end)."""
-    return multimodal.decode_metadata(load_table(spark, sf_dir, "documents"))
+    return multimodal.decode_metadata(load_table(spark, sf_dir, "documents", rebalance=True))
 
 
 @query(
@@ -582,7 +582,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-offset sampling over binary payloads (explode-shaped) —
     operators/multimodal.py:frame_sample_offsets."""
-    return multimodal.frame_sample_offsets(load_table(spark, sf_dir, "documents"))
+    return multimodal.frame_sample_offsets(load_table(spark, sf_dir, "documents", rebalance=True))
 
 
 # ---------------------------------------------------------------------------
@@ -641,7 +641,7 @@ def pipeline_quality_dedup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     → per-(split, lang) manifest counts. Three shuffles total (dedup
     groupBy, final groupBy; the split is a pure map) — the composition a
     100 TB corpus build runs nightly, here as one oracle-checked plan."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 150)
+    docs = load_table(spark, sf_dir, "documents", rebalance=True).filter(F.col("n_chars") >= 150)
     kept = docs.groupBy("text").agg(
         F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang")
     )
@@ -697,7 +697,7 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks a scalar). The oracle is a recursive CTE computing the same
     transitive closure; star-assignment (dedup_minhash_groups) is the
     one-step approximation of this."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     edges = dedup.minhash_lsh_pairs(docs, threshold=0.9).select("doc_a", "doc_b")
     return dedup.connected_dedup_groups(docs.select("doc_id"), edges)
 
@@ -776,7 +776,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram fraction) — operators/text.py:repetition_scores. Shuffle-free
     map stage: the signals come from array ops inside each row, never a
     corpus-wide explode."""
-    return text.repetition_scores(load_table(spark, sf_dir, "documents"))
+    return text.repetition_scores(load_table(spark, sf_dir, "documents", rebalance=True))
 
 
 @query(
@@ -814,7 +814,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     emails (every 7th doc) and phone numbers (every 11th) before scrubbing;
     detection counts and the scrubbed text's portable hash prove both the
     matching and the redaction end-to-end."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     aug = docs.select(
         "doc_id",
         F.concat(
@@ -867,3 +867,29 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("event_id", "event_type", bucket.alias("bucket")).filter(
         F.col("bucket") < rate
     )
+
+
+@query(
+    "ann_knn_join",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    b AS (SELECT vec_id, emb, {sql_hyperplane_bucket('emb')} AS bucket FROM e),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.bucket AS bucket,
+             round(list_cosine_similarity(q.emb, c.emb), 6) AS cos_sim
+      FROM b q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, bucket, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+)
+def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs kNN join: top-3 neighbors for EVERY vector (not a query
+    subset) via bucket-blocked self-join —
+    operators/similarity.py:knn_self_join. The batch materialization a
+    semantic-dedup or hard-negative-mining pass runs corpus-wide."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_self_join(emb, k=3)

@@ -148,3 +148,31 @@ def sort_multikey_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("capped_value").desc_nulls_last(),
         F.col("event_id").asc(),
     )
+
+
+@query(
+    "csv_wire_roundtrip",
+    oracle="""
+    SELECT CAST(c_custkey AS INT) AS id, c_name AS name, c_mktsegment AS address,
+           CAST(c_nationkey AS VARCHAR) AS continent
+    FROM customer
+    """,
+)
+def csv_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference wire-format codec parity: rows → the producer's value-only
+    CSV lines (/root/reference/cmd/producer/main.go:82) → re-parsed with the
+    positional extractor (sources/generator.py:parse_csv_lines ≙
+    extractKeyString/extractID, external_sort.go:368-425). The query output
+    equals its input iff encode∘decode is the identity, which the oracle
+    checks against the original table — all JVM-side concat/split, the
+    whole ingest path in one codegen stage."""
+    from kafka_stream_sorter_spark.sources.generator import parse_csv_lines
+    from kafka_stream_sorter_spark.sources.kafka import records_to_values
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("int").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("address"),
+        F.col("c_nationkey").cast("string").alias("continent"),
+    )
+    return parse_csv_lines(records_to_values(c))

@@ -266,3 +266,31 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("lag_us"),
     )
     return ops.drain_to_table(joined, "append")
+
+
+@query(
+    "stream_cdc_upsert",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           value AS last_value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert over the event stream: maintain the latest row per
+    user_id (winner = max event time, event_id tie-break) with
+    merge-on-read semantics — streaming/ops.py:cdc_latest. Micro-batches
+    append per-key-compacted deltas; the reader resolves the global
+    winner. The keyed-materialized-view topology every feature store runs."""
+    sdf = ops.stream_events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    latest = ops.cdc_latest(sdf, ["user_id"], ["ts", "event_id"])
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )

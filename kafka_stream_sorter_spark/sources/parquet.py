@@ -28,10 +28,22 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, rebalance: bool = False
+) -> DataFrame:
+    """``rebalance=True`` repartitions the scan across the session's
+    parallelism — for compute-heavy per-row operators (rolling hashes,
+    shingling, per-vector cosine) over byte-small inputs. A parquet scan
+    parallelizes by file split, and a single-row-group file is one task no
+    matter how many cores exist (the fixtures are exactly that); when
+    per-row work dominates scan bytes, one tiny round-robin shuffle before
+    the map stage buys full-cluster fan-out. Leave False for scan-bound or
+    immediately-shuffling queries — there the extra exchange is pure cost."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     df = spark.read.parquet(table_path(sf_dir, name))
+    if rebalance:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     # events.ts is TIMESTAMP(NANOS) in the fixture parquet; Spark reads it
     # as long (spark.sql.legacy.parquet.nanosAsLong). Convert to a micros
     # timestamp — the same ns→µs truncation DuckDB applies — so downstream

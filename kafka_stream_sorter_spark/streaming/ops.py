@@ -162,3 +162,34 @@ def user_running_stats(sdf: DataFrame) -> DataFrame:
     return sdf.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def cdc_latest(sdf: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """Merge-on-read CDC upsert: each micro-batch compacts to its per-key
+    latest row (foreachBatch window argmax) and appends a delta file; the
+    read side resolves the global winner per key across deltas — the
+    Hudi/Delta merge-on-read topology without a table format. Writers
+    never rewrite history (append-only, safe under concurrent batches);
+    compaction cost rides on the reader until a background rewrite folds
+    deltas. Deterministic: the winner is the max of ``order_cols``, never
+    arrival order."""
+    from pyspark.sql import Window
+
+    out = tempfile.mkdtemp(prefix="cdc_upsert_")
+    order = [F.col(c).desc() for c in order_cols]
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*key_cols).orderBy(*order)
+        return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+    def emit(batch_df: DataFrame, _batch_id: int) -> None:
+        latest(batch_df).write.mode("append").parquet(out)
+
+    q = (
+        sdf.writeStream.foreachBatch(emit)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return latest(sdf.sparkSession.read.parquet(out))
