@@ -224,3 +224,31 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(scrubbed).cast("long").alias("scrubbed_len"),
         char_poly_hash(scrubbed).alias("scrubbed_hash"),
     )
+
+
+def chunk_windows(
+    df: DataFrame, text_col: str = "text", size: int = 200, stride: int = 150
+) -> DataFrame:
+    """RAG-style context chunking: overlapping character windows of
+    ``size`` every ``stride``, as (doc_id, chunk_idx, chunk_start,
+    chunk_len, chunk_hash) — posexplode over a JVM-generated start
+    sequence, so chunking a 100 TB corpus is a pure map+explode stage with
+    no Python and no shuffle. The final window is allowed to run short
+    (substring clamps at end-of-text); docs shorter than ``size`` yield
+    exactly one chunk. The portable chunk hash pins content without
+    carrying chunk text through the compare."""
+    text = F.col(text_col)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(text) - size + stride, F.lit(1)), F.lit(stride)
+    )
+    chunk = F.substring(text, F.col("start"), size)
+    return (
+        df.select("doc_id", text.alias("__t"), F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("start").cast("long").alias("chunk_start"),
+            F.length(F.substring(F.col("__t"), F.col("start"), size)).cast("long").alias("chunk_len"),
+            char_poly_hash(F.substring(F.col("__t"), F.col("start"), size)).alias("chunk_hash"),
+        )
+    )

@@ -893,3 +893,26 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic-dedup or hard-negative-mining pass runs corpus-wide."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.knn_self_join(emb, k=3)
+
+
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH starts AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 200 + 150, 1), 150)) AS chunk_start
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((chunk_start - 1) // 150 AS BIGINT) AS chunk_idx,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(length(substr(text, CAST(chunk_start AS INTEGER), 200)) AS BIGINT) AS chunk_len,
+           {_sql_poly('substr(text, CAST(chunk_start AS INTEGER), 200)')} AS chunk_hash
+    FROM starts
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 200-char/150-stride context chunks for every document —
+    operators/text.py:chunk_windows. The chunking pass a RAG or
+    long-context training pipeline runs corpus-wide; map+explode only."""
+    return text.chunk_windows(load_table(spark, sf_dir, "documents", rebalance=True))

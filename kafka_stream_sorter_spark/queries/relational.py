@@ -1126,3 +1126,40 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 8).alias("cum_dist"),
     )
+
+
+# One SQL text, two engines: the Spark side runs it via spark.sql over
+# registered views — the SQL-API entry point a reference user would reach
+# for first — and the oracle runs the identical string in DuckDB. Dialect
+# kept to the shared ANSI core (CTE, join, window, floor/cast money micros).
+_SQL_INTERFACE = """
+    WITH rev AS (
+      SELECT c_mktsegment, c_custkey, c_name,
+             CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev_micros
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, c_custkey, c_name
+    ),
+    ranked AS (
+      SELECT c_mktsegment, c_custkey, c_name, rev_micros,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY rev_micros DESC, c_custkey) AS rnk
+      FROM rev
+    )
+    SELECT c_mktsegment, c_custkey, c_name, rev_micros, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+"""
+
+
+@query("sql_interface", oracle=_SQL_INTERFACE)
+def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text API: top-3 customers by revenue per market segment,
+    submitted as a raw SQL string over registered fixture views
+    (sources/parquet.py:register_views) and planned by Catalyst exactly
+    like the DataFrame builders — one shuffle per agg/window, WindowGroupLimit
+    for the rank filter. The oracle is the SAME string run by DuckDB,
+    pinning engine-agnostic ANSI semantics end to end."""
+    from kafka_stream_sorter_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_SQL_INTERFACE)

@@ -148,3 +148,16 @@ def test_q20_nested_agg_feeds_semi_join(spark, sf_dir):
 
 def test_q21_topk_avoids_global_sort(spark, sf_dir):
     assert_plan_contains(QUERIES["tpch_q21_waiting"](spark, sf_dir), "TakeOrderedAndProject")
+
+
+def test_chunking_is_jvm_generate(spark, sf_dir):
+    # chunk explosion must be a Generate (posexplode) over JVM expressions,
+    # never a Python row loop
+    plan = assert_plan_contains(QUERIES["text_chunk_windows"](spark, sf_dir), "Generate")
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_sql_interface_rank_group_limit(spark, sf_dir):
+    # the SQL-text path must hit the same WindowGroupLimit optimization as
+    # the DataFrame builders
+    assert_plan_contains(QUERIES["sql_interface"](spark, sf_dir), "WindowGroupLimit")
