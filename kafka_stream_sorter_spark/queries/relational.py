@@ -1163,3 +1163,66 @@ def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ["customer", "orders"])
     return spark.sql(_SQL_INTERFACE)
+
+
+@query(
+    "unpivot_melt",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, value
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+          FROM lineitem)
+    UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount))
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt — the inverse of agg_pivot: three measure columns fold
+    into (measure, value) rows. A pure Expand map stage (row triplication
+    without shuffle); values pass through as raw stored doubles, so both
+    engines emit identical bits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
+
+
+@query(
+    "udtf_tokenize",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_slice(regexp_split_to_array(lower(trim(text)), '\\s+'), 1, 5) AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(unnest(range(len(toks))) AS BIGINT) AS token_idx,
+           unnest(toks) AS token
+    FROM t
+    """,
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4): a table function emitting the first
+    five (token_idx, token) rows per document through a LATERAL join —
+    the row-expanding extension point (UDF/UDAF/UDTF all now covered:
+    udf_scalar_pandas / udf_grouped_regression / this). Row-at-a-time
+    Python is the slow path by design; the JVM twin of this exact shape is
+    text_chunk_windows' posexplode. Oracle: generate_series lateral over
+    the same tokenization."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token_idx: long, token: string")
+    class FirstTokens:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.strip().lower().split()[:5]):
+                yield i, tok
+
+    spark.udtf.register("first_tokens", FirstTokens)
+    load_table(spark, sf_dir, "documents", rebalance=True).createOrReplaceTempView(
+        "__docs_udtf"
+    )
+    return spark.sql(
+        "SELECT doc_id, t.token_idx, t.token "
+        "FROM __docs_udtf, LATERAL first_tokens(text) t"
+    )
