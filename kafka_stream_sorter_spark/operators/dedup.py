@@ -15,7 +15,7 @@ Scale design notes (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_stream_sorter_spark.functions.text_hash import (
@@ -98,9 +98,21 @@ def _prefix_filtered_jaccard(sets: DataFrame, threshold: float) -> DataFrame:
     the join — and the exact array-intersect verification runs on
     candidates, not on the blocked cross product. Results are identical to
     the naive blocked all-pairs form (which is what the DuckDB oracles
-    compute); pruning affects cost only."""
-    g = sets.persist()
+    compute); pruning affects cost only.
 
+    The shingle sets are persisted for the duration (read 3×: df counts,
+    prefix build, verification) and unpersisted before returning — the
+    result is eagerly localCheckpoint-ed (pairs are a sliver of the
+    corpus), so cached blocks don't accumulate across the three Jaccard
+    queries in a long-lived session."""
+    g = sets.persist()
+    try:
+        return _prefix_filtered_jaccard_body(g, threshold).localCheckpoint()
+    finally:
+        g.unpersist()
+
+
+def _prefix_filtered_jaccard_body(g: DataFrame, threshold: float) -> DataFrame:
     ex = g.select(
         "doc_id",
         "lang",
@@ -349,6 +361,16 @@ def connected_dedup_groups(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Convergence is guaranteed within graph-diameter rounds; hitting
+        # the cap means the component ids below may still be stale. Fail
+        # loudly — a silent wrong answer is worse than a retry with a
+        # higher cap (min-label propagation halves the frontier per round,
+        # so diameter > max_iter=20 implies a pathological chain graph).
+        raise RuntimeError(
+            f"connected_dedup_groups: no fixpoint after max_iter={max_iter} "
+            f"rounds ({changed} labels still changing); raise max_iter"
+        )
     # No broadcast hint: the touched-label map is tiny on clean corpora but
     # can be a large fraction of a dirty one — AQE picks broadcast vs
     # shuffle from the actual size at runtime.

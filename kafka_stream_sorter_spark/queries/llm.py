@@ -714,17 +714,47 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def udf_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map applyInPandas: per-user least-squares fit of value over
-    event time — custom aggregation logic that has no built-in aggregate.
-    One shuffle on user_id, then each group is handed to Python as one
-    Arrow batch; the closed-form normal-equation arithmetic in float64
-    matches DuckDB's regr_slope/regr_intercept to well under the rounding
-    applied on both sides."""
+    """Per-user least-squares fit of value over event time, entirely
+    JVM-side: ``F.regr_slope``/``F.regr_intercept`` (Spark ≥3.4) are the
+    exact aggregates the DuckDB oracle uses. Partial aggregation + one
+    shuffle on user_id, whole-stage codegen end to end — the round-1
+    grouped-map applyInPandas version of this query cost a per-group
+    Python/Arrow round-trip for arithmetic a built-in already does (it
+    survives as ``udf_grouped_regression_pandas`` below, registered as the
+    grouped-map extension-point demo, not the production path)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    x = F.unix_micros(F.col("ts")) / F.lit(1_000_000.0)
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope(F.col("value"), x), 4).alias("slope"),
+        F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
+    )
+
+
+@query(
+    "udf_grouped_regression_pandas",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(value, epoch_us(ts) / 1000000.0), 4) AS slope,
+           round(regr_intercept(value, epoch_us(ts) / 1000000.0), 4) AS intercept
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def udf_grouped_regression_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas demo of the same regression: the
+    extension surface for aggregation logic Spark genuinely lacks. One
+    shuffle on user_id, each group one Arrow batch, closed-form normal
+    equations in float64. The x axis (epoch seconds) is computed JVM-side
+    *before* the hand-off so the Python side never touches timestamp
+    units (pandas may surface Spark's µs timestamps as datetime64[ns] or
+    [us] depending on version — int64 µs in, float64 out is unambiguous)."""
     import numpy as np
     import pandas as pd
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf["ts"].astype("int64").to_numpy(dtype=np.float64) / 1e9  # ns → s
+        x = pdf["x_us"].to_numpy(dtype=np.float64) / 1e6  # µs → s
         y = pdf["value"].to_numpy(dtype=np.float64)
         n = len(y)
         mx, my = x.mean(), y.mean()
@@ -741,7 +771,9 @@ def udf_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("x_us"), "value"
+    )
     return e.groupBy("user_id").applyInPandas(
         fit, "user_id long, n long, slope double, intercept double"
     )

@@ -633,14 +633,17 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase_id
       FROM u
     )
-    SELECT event_id, user_id, ts, prev_purchase_id FROM m WHERE event_type = 'click'
+    SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           prev_purchase_id
+    FROM m WHERE event_type = 'click'
     """,
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (an operator Spark lacks built-in): every click
     gets the most recent strictly-earlier purchase of the same user —
     operators/asof.py:asof_join_backward (union + partitioned window; one
-    shuffle, no per-row probe)."""
+    shuffle, no per-row probe). The event time is emitted as epoch micros
+    (registry determinism rule: never a raw timestamp across engines)."""
     from kafka_stream_sorter_spark.operators.asof import asof_join_backward
 
     events = load_table(spark, sf_dir, "events")
@@ -650,7 +653,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    return asof_join_backward(
+    joined = asof_join_backward(
         clicks,
         purchases,
         by=["user_id"],
@@ -658,6 +661,12 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak="event_id",
         payload="event_id",
         payload_alias="prev_purchase_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "prev_purchase_id",
     )
 
 
@@ -746,17 +755,41 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS exact_events,
+           TRUE AS users_within_tol,
+           TRUE AS events_within_tol
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counts — the 100 TB budget variant of
-    agg_distinct (fixed-size sketch per key vs a full dedup shuffle). No
-    SQL oracle: HLL estimates are engine-specific (driver records the
-    rows-only check); tests/test_approx.py bounds the estimate against the
-    exact count at the configured 2% rsd."""
+    agg_distinct (fixed-size sketch per key vs a full dedup shuffle). HLL
+    estimates are engine-specific, so the driver-checkable contract is the
+    estimate's *accuracy bound*, not its raw value: emit the exact counts
+    plus a within-10%-of-exact boolean per sketch (2% configured rsd → 10%
+    is a 5σ margin), and the oracle asserts the booleans are TRUE against
+    DuckDB's own exact distincts. tests/test_approx.py additionally bounds
+    the raw estimate at the 2% rsd."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.approx_count_distinct("event_id", 0.02).alias("approx_events"),
+    agged = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct("event_id").alias("exact_events"),
+        F.approx_count_distinct("user_id", 0.02).alias("au"),
+        F.approx_count_distinct("event_id", 0.02).alias("ae"),
+    )
+    within = lambda a, x: F.abs(F.col(a) - F.col(x)) <= 0.10 * F.col(x)  # noqa: E731
+    return agged.select(
+        "event_type",
+        "exact_users",
+        "exact_events",
+        within("au", "exact_users").alias("users_within_tol"),
+        within("ae", "exact_events").alias("events_within_tol"),
     )
 
 
@@ -884,8 +917,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_array_struct",
     oracle="""
     SELECT user_id,
-           list_sort(list(event_id))                        AS event_ids,
-           list_sort(list_distinct(list(event_type)))       AS types_seen,
+           array_to_string(list_sort(list(event_id)), ',')                  AS event_ids,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types_seen,
            CAST(len(list(event_id)) AS BIGINT)              AS n,
            list_sort(list(event_id))[1]                     AS first_event,
            list_sort(list(event_id))[-1]                    AS last_event
@@ -896,14 +929,20 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_array_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-type surface: per-user event arrays via collect_list (sorted
     for determinism — collect order is partition-dependent), distinct type
-    sets, and element access. One shuffle; arrays stay JVM-side. The
-    100 TB caveat is the per-group array size — bound it upstream (here
-    groups are user-sized) or switch to windowed slices."""
+    sets, and element access. One shuffle; arrays stay JVM-side until the
+    final comparison projection, which serializes them to a canonical
+    comma-joined string — engines render raw array values differently
+    (Python lists vs DuckDB's numpy arrays), so the contract column is the
+    canonical text, not the representation. The 100 TB caveat is the
+    per-group array size — bound it upstream (here groups are user-sized)
+    or switch to windowed slices."""
     e = load_table(spark, sf_dir, "events")
     ids = F.sort_array(F.collect_list("event_id"))
     return e.groupBy("user_id").agg(
-        ids.alias("event_ids"),
-        F.array_sort(F.array_distinct(F.collect_list("event_type"))).alias("types_seen"),
+        F.concat_ws(",", ids.cast("array<string>")).alias("event_ids"),
+        F.concat_ws(
+            ",", F.array_sort(F.array_distinct(F.collect_list("event_type")))
+        ).alias("types_seen"),
         F.count(F.lit(1)).alias("n"),
         ids.getItem(0).alias("first_event"),
         F.element_at(ids, -1).alias("last_event"),

@@ -41,6 +41,12 @@ def load_table(
     immediately-shuffling queries — there the extra exchange is pure cost."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    # events.parquet stores TIMESTAMP(NANOS), which Spark rejects outright
+    # unless this legacy flag is on. It is runtime-settable, so set it on the
+    # session we were handed rather than relying on the caller having built
+    # it via session.get_spark() — external harnesses hand us vanilla
+    # sessions (this exact gap broke 6 oracle checks in round 1).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if rebalance:
         df = df.repartition(spark.sparkContext.defaultParallelism)

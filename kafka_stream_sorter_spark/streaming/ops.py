@@ -23,7 +23,9 @@ exactly like their batch analogues.
 from __future__ import annotations
 
 import itertools
+import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -36,6 +38,33 @@ from pyspark.sql.types import (
 )
 
 _SINK_IDS = itertools.count()
+
+# State stores shard one-per-shuffle-partition: every stateful streaming op
+# pays (open + commit + snapshot) × partitions per micro-batch, so 32 shards
+# (the batch default here) over fixture-scale state is pure constant
+# overhead. Scope the drains to a small count — sized to state volume, not
+# CPU count; at 100 TB you'd raise this to spread state across executors
+# (it is frozen into the checkpoint at first batch, so pick it per job).
+STREAM_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+
+
+@contextmanager
+def _stream_shuffle(spark):
+    """Temporarily pin spark.sql.shuffle.partitions for a stream drain;
+    restore the caller's value after (the batch queries keep theirs)."""
+    key = "spark.sql.shuffle.partitions"
+    try:
+        old = spark.conf.get(key)
+    except Exception:  # noqa: BLE001 - unset on a vanilla session
+        old = None
+    spark.conf.set(key, str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        yield
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
+        else:
+            spark.conf.unset(key)
 
 # File-source schema for events.parquet. ``ts`` is TIMESTAMP(NANOS) in the
 # fixture; with spark.sql.legacy.parquet.nanosAsLong (session.py) the scan
@@ -57,6 +86,10 @@ def stream_events(spark, sf_dir: str) -> DataFrame:
     """Unbounded view of the events table via the file streaming source
     (≙ the reference's Kafka `source` topic; swap in
     sources/kafka.read_topic(streaming=True) when a broker exists)."""
+    # The explicit LongType schema does NOT bypass Spark's TIMESTAMP(NANOS)
+    # rejection — the flag must be on for the scan itself. Runtime-settable,
+    # so set it here for vanilla (non-get_spark) sessions.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
@@ -73,15 +106,16 @@ def drain_to_table(sdf: DataFrame, output_mode: str) -> DataFrame:
     topics (`sorted_*`); production would use format("kafka")/("parquet")
     with the same query unchanged."""
     name = f"stream_sink_{next(_SINK_IDS)}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(sdf.sparkSession):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return sdf.sparkSession.table(name)
 
 
@@ -100,13 +134,14 @@ def drain_sorted(sdf: DataFrame, keys: list[str]) -> DataFrame:
     def emit(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df.orderBy(*keys).write.mode("append").parquet(out)
 
-    q = (
-        sdf.writeStream.foreachBatch(emit)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(sdf.sparkSession):
+        q = (
+            sdf.writeStream.foreachBatch(emit)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return sdf.sparkSession.read.parquet(out)
 
 
@@ -185,11 +220,12 @@ def cdc_latest(sdf: DataFrame, key_cols: list[str], order_cols: list[str]) -> Da
     def emit(batch_df: DataFrame, _batch_id: int) -> None:
         latest(batch_df).write.mode("append").parquet(out)
 
-    q = (
-        sdf.writeStream.foreachBatch(emit)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(sdf.sparkSession):
+        q = (
+            sdf.writeStream.foreachBatch(emit)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return latest(sdf.sparkSession.read.parquet(out))

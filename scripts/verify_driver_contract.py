@@ -19,12 +19,22 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
 
 def main() -> int:
-    from kafka_stream_sorter_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
     sys.path.insert(0, "/root/repo/tests")
     from oracle_utils import compare_frames, duck_connect
 
-    spark = get_spark("verify-driver-contract")
+    # Deliberately a VANILLA session (not session.get_spark): the round
+    # driver builds its own bare SparkSession, so every query must work
+    # without our curated configs. Round 1 lost 6 oracle rows to exactly
+    # this gap (nanos parquet reads depended on a get_spark-only flag).
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("verify-driver-contract")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     mod = importlib.import_module("__spark_entry__")
 
     t0 = time.time()

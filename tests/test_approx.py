@@ -1,5 +1,6 @@
-"""agg_approx_distinct has no SQL oracle (HLL sketches are engine-specific);
-bound the estimates against exact counts instead."""
+"""agg_approx_distinct's driver contract is (exact counts + within-tolerance
+booleans); this test additionally checks the underlying HLL estimate against
+exact counts directly, and that the emitted booleans hold."""
 
 from __future__ import annotations
 
@@ -10,7 +11,7 @@ from kafka_stream_sorter_spark.sources.parquet import load_table
 def test_approx_distinct_within_bounds(spark, sf_dir):
     import pyspark.sql.functions as F
 
-    approx = {r.event_type: r for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()}
+    rows = {r.event_type: r for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()}
     exact = {
         r.event_type: r
         for r in load_table(spark, sf_dir, "events")
@@ -21,9 +22,26 @@ def test_approx_distinct_within_bounds(spark, sf_dir):
         )
         .collect()
     }
-    assert approx.keys() == exact.keys() and approx
-    for et, a in approx.items():
+    assert rows.keys() == exact.keys() and rows
+    for et, a in rows.items():
         e = exact[et]
-        # 2% rsd → allow 5 sigma plus small-count slack
-        assert abs(a.approx_users - e.users) <= max(0.1 * e.users, 5)
-        assert abs(a.approx_events - e.events) <= max(0.1 * e.events, 5)
+        assert a.exact_users == e.users
+        assert a.exact_events == e.events
+        # the query itself asserts the 10% (5 sigma at 2% rsd) bound
+        assert a.users_within_tol and a.events_within_tol
+
+    # raw-estimate bound, independent of the query's projection
+    est = {
+        r.event_type: r
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("au"),
+            F.approx_count_distinct("event_id", 0.02).alias("ae"),
+        )
+        .collect()
+    }
+    for et, a in est.items():
+        e = exact[et]
+        assert abs(a.au - e.users) <= max(0.1 * e.users, 5)
+        assert abs(a.ae - e.events) <= max(0.1 * e.events, 5)

@@ -157,6 +157,15 @@ def test_chunking_is_jvm_generate(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
 
 
+def test_grouped_regression_is_jvm_aggregate(spark, sf_dir):
+    # regr_slope/regr_intercept are built-in aggregates: the registered
+    # query must plan as partial+final HashAggregate/SortAggregate with NO
+    # Python in the loop (the pandas grouped-map demo is a separate query)
+    plan = assert_plan_lacks(QUERIES["udf_grouped_regression"](spark, sf_dir), "FlatMapGroupsInPandas")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Aggregate") >= 2  # map-side partial + final
+
+
 def test_sql_interface_rank_group_limit(spark, sf_dir):
     # the SQL-text path must hit the same WindowGroupLimit optimization as
     # the DataFrame builders
