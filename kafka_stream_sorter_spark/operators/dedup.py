@@ -329,10 +329,21 @@ def connected_dedup_groups(
     # each round's join proportional to the duplicate graph, not the corpus
     # — the full node set rejoins once at the end.
     sym = sym.localCheckpoint()
+    # Size the iteration to the FRONTIER, not the cluster: the duplicate
+    # graph is a sliver of the corpus, and every round pays
+    # (join + groupBy + checkpoint) × partitions in fixed overhead. The
+    # edge count is free to read off the just-materialized checkpoint;
+    # ~1M edges per partition keeps rounds dense at any scale (a 100 TB
+    # corpus with a billion dup edges still fans out to ~1000 tasks).
+    n_edges = sym.count()
+    parallelism = sym.sparkSession.sparkContext.defaultParallelism
+    n_parts = int(max(1, min(parallelism, n_edges // 1_000_000 + 1)))
+    sym = sym.repartition(n_parts, "dst").localCheckpoint()
     labels = (
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
+        .repartition(n_parts, "doc_id")
         .localCheckpoint()
     )
 
@@ -342,23 +353,24 @@ def connected_dedup_groups(
             .groupBy("src")
             .agg(F.min("label").alias("neigh_min"))
         )
-        new_labels = (
+        # The convergence signal rides the same projection (old label is
+        # already on the row) — no separate new-vs-old join per round; the
+        # count is a scan of the just-checkpointed rows.
+        stepped = (
             labels.join(neigh, labels.doc_id == neigh.src, "left")
             .select(
                 "doc_id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("neigh_min"), F.col("label"))
                 ).alias("label"),
+                (
+                    F.coalesce(F.col("neigh_min"), F.col("label")) < F.col("label")
+                ).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("_changed")).count()
+        labels = stepped.drop("_changed")
         if changed == 0:
             break
     else:
