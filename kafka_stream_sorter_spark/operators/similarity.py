@@ -304,3 +304,119 @@ def knn_self_join(embeddings: DataFrame, k: int = 3) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained IVF: deterministic integer-micros k-means (Lloyd) + cluster probe
+# ---------------------------------------------------------------------------
+
+
+def _micros_vec(emb: Column) -> Column:
+    """array<double> -> array<long> of integer micros (floor(v*1e6+0.5)).
+
+    All k-means arithmetic runs on these integers: summation order can't
+    change an integer result, so the trained centroids — and therefore the
+    cluster assignments — are bit-identical across engines and across
+    partitionings/retries. The float->int quantization is the same
+    portable-money trick as functions/numeric.money_micros, applied
+    per-dimension."""
+    return F.transform(emb, lambda v: F.floor(v * 1_000_000 + F.lit(0.5)).cast("long"))
+
+
+def _nearest_cluster(cent: dict[int, list[int]]) -> Column:
+    """Expression assigning the row's ``xi`` (array<long>) to the nearest
+    centroid by exact integer squared-L2; ties break to the lowest cluster
+    id (array_position returns the FIRST minimum; the centroid array is
+    built in ascending-id order)."""
+    ids = sorted(cent)
+
+    def dist(c_vals: list[int]) -> Column:
+        lit = F.array(*[F.lit(int(v)) for v in c_vals])
+        return F.aggregate(
+            F.zip_with(F.col("xi"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    dists = F.array(*[dist(cent[i]) for i in ids])
+    idx = F.array_position(dists, F.array_min(dists)).cast("int")
+    return F.element_at(F.array(*[F.lit(int(i)) for i in ids]), idx)
+
+
+def ivf_kmeans_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """ANN with a TRAINED coarse quantizer: k-means (fixed ``n_iter`` Lloyd
+    rounds, centroids seeded from the ``n_clusters`` lowest vec_ids), then
+    probe = per-cluster top-k — the trained sibling of :func:`blocked_topk`
+    (which inherits its partition from a label column).
+
+    Deterministic by construction, so a DuckDB oracle can replay training
+    exactly (see queries/llm.py:ann_ivf_kmeans): vectors quantize to
+    integer micros, distances are exact integer squared-L2, and each new
+    centroid component is floor(sum/count) — floor of an exact-double
+    ratio of ints, identical in any engine. Clusters that lose all members
+    keep their previous centroid.
+
+    Scale shape: per Lloyd round, assignment is a broadcast map stage
+    (centroids are k×d literals — k is small by definition of a COARSE
+    quantizer) and the update is one groupBy over (cluster, dim) = k·d
+    cells; rounds are driver-sequenced like connected_dedup_groups. The
+    probe is an equi-join on cluster id — sum(|cluster|²) work, never
+    corpus-quadratic. At 100 TB: train on a sample, broadcast the
+    centroids, assignment stays a map stage over the full corpus."""
+    import math
+
+    emb = _as_double(embeddings)
+    base = emb.select("vec_id", "embedding", _micros_vec(F.col("embedding")).alias("xi"))
+
+    seeds = (
+        base.filter(F.col("vec_id") < n_clusters)
+        .orderBy("vec_id")
+        .select("vec_id", "xi")
+        .collect()
+    )
+    cent: dict[int, list[int]] = {int(r.vec_id): list(r.xi) for r in seeds}
+    dim = len(next(iter(cent.values())))
+
+    for _ in range(n_iter):
+        assigned = base.withColumn("cluster", _nearest_cluster(cent))
+        stats = (
+            assigned.select("cluster", F.posexplode("xi").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # k*d cells — bounded by the quantizer, not the data
+        )
+        new: dict[int, list[int]] = {}
+        for r in stats:
+            new.setdefault(int(r.cluster), [0] * dim)[int(r.pos)] = int(
+                math.floor(r.s / r.n)
+            )
+        cent = {cid: new.get(cid, vec) for cid, vec in cent.items()}
+
+    final = base.withColumn("cluster", _nearest_cluster(cent))
+    q = final.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cluster").alias("q_cluster"),
+        F.col("embedding").alias("q_emb"),
+    )
+    cand = final.join(
+        F.broadcast(q),
+        (F.col("cluster") == F.col("q_cluster")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

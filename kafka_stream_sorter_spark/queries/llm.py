@@ -435,6 +435,88 @@ def ann_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk_vectorized(emb, query_ids=[0, 1, 2, 3, 4], k=10)
 
 
+def _kmeans_oracle_sql(n_clusters: int, n_iter: int, n_queries: int, k: int, dim: int = 64) -> str:
+    """Unrolled-SQL replay of operators/similarity.ivf_kmeans_topk: the
+    training loop is deterministic integer arithmetic, so each Lloyd round
+    is three CTEs (assign / per-dim sums / rebuilt centroids) and the whole
+    program is ordinary SQL DuckDB executes bit-identically."""
+
+    def d2(x: str, c: str) -> str:  # exact integer squared-L2
+        t = f"({x}[CAST(i AS INTEGER)] - {c}[CAST(i AS INTEGER)])"
+        return f"list_sum(list_transform(range(1, {dim + 1}), i -> {t} * {t}))"
+
+    rounds = []
+    for r in range(n_iter):
+        rounds.append(f"""
+    asg{r} AS (
+      SELECT vec_id, xi, cluster FROM (
+        SELECT x.vec_id, x.xi, c.cluster,
+               row_number() OVER (PARTITION BY x.vec_id
+                                  ORDER BY {d2('x.xi', 'c.cvec')}, c.cluster) AS rn
+        FROM xi x CROSS JOIN c{r} c
+      ) WHERE rn = 1
+    ),
+    s{r} AS (
+      SELECT cluster, i AS pos, sum(xi[CAST(i AS INTEGER)]) AS s, count(*) AS n
+      FROM asg{r}, (SELECT unnest(range(1, {dim + 1})) AS i) g
+      GROUP BY cluster, i
+    ),
+    n{r} AS (
+      SELECT cluster,
+             list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS cvec
+      FROM s{r} GROUP BY cluster
+    ),
+    c{r + 1} AS (
+      SELECT c.cluster, coalesce(n.cvec, c.cvec) AS cvec
+      FROM c{r} c LEFT JOIN n{r} n USING (cluster)
+    )""")
+    return f"""
+    WITH xi AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            v -> CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS xi,
+             CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cluster, xi AS cvec FROM xi WHERE vec_id < {n_clusters}),
+    {','.join(rounds)},
+    af AS (
+      SELECT vec_id, emb, cluster FROM (
+        SELECT x.vec_id, x.emb, c.cluster,
+               row_number() OVER (PARTITION BY x.vec_id
+                                  ORDER BY {d2('x.xi', 'c.cvec')}, c.cluster) AS rn
+        FROM xi x CROSS JOIN c{n_iter} c
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(c.cluster AS BIGINT) AS cluster,
+             round(list_cosine_similarity(q.emb, c.emb), 6) AS cos_sim
+      FROM af q JOIN af c
+        ON q.vec_id < {n_queries} AND c.cluster = q.cluster AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cluster, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
+    """
+
+
+@query("ann_ivf_kmeans", oracle=_kmeans_oracle_sql(n_clusters=8, n_iter=2, n_queries=20, k=5))
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN with a TRAINED coarse quantizer: 2 Lloyd rounds of k-means over
+    integer-micros vectors (deterministic: exact integer distances,
+    floor(sum/count) centroid updates), then per-cluster top-5 probe —
+    operators/similarity.py:ivf_kmeans_topk. The one iterative-training
+    algorithm in the suite with a full value-hash oracle: determinism makes
+    the training replayable as unrolled SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_kmeans_topk(
+        emb, query_ids=list(range(20)), n_clusters=8, n_iter=2, k=5
+    )
+
+
 @query(
     "dedup_embedding",
     oracle=f"""
