@@ -43,12 +43,20 @@ def main() -> None:
     # exclude container startup — BASELINE.md "excl. fixed startup").
     QUERIES["sort_numeric"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # One failing query must never zero out the whole round's performance
+    # evidence (round 2's bench died rc=1 on a single AnalysisException and
+    # produced no numbers at all): time each query independently, record
+    # failures, keep going.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(QUERIES):
         t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 - survive, report, continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     # Reference-shaped workload ≙ the reference's whole pipeline at 1/10
     # scale: producer (seeded CSV-row generation, BASELINE.md 60-70k rows/s)
@@ -81,28 +89,37 @@ def main() -> None:
             t0 = time.perf_counter()
             src.orderBy(*order).write.format("noop").mode("overwrite").save()
             timings[f"ref_sort_{key}"] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # noqa: BLE001 - still emit the per-query JSON
+        errors["ref_workload"] = f"{type(exc).__name__}: {exc}"[:500]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    slowest_sort = max(timings[f"ref_sort_{k}"] for k in ("id", "name", "continent"))
+    sort_times = [
+        timings[f"ref_sort_{k}"]
+        for k in ("id", "name", "continent")
+        if f"ref_sort_{k}" in timings
+    ]
+    slowest_sort = max(sort_times) if sort_times else None
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_queries": len(timings),
-                "startup_sec": round(startup_sec, 3),
-                "ref_rows": ref_rows,
-                "ref_generate_rows_per_sec": int(ref_rows / max(timings["ref_produce"], 1e-9)),
-                "ref_sort_rows_per_sec": int(ref_rows / max(slowest_sort, 1e-9)),
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "startup_sec": round(startup_sec, 3),
+        "ref_rows": ref_rows,
+    }
+    if errors:
+        out["errors"] = errors
+    if "ref_produce" in timings:
+        out["ref_generate_rows_per_sec"] = int(ref_rows / max(timings["ref_produce"], 1e-9))
+    if slowest_sort is not None:
+        out["ref_sort_rows_per_sec"] = int(ref_rows / max(slowest_sort, 1e-9))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

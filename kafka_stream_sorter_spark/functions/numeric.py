@@ -26,6 +26,21 @@ def money_micros(col: Column) -> Column:
     return F.floor(col * 1_000_000 + 0.5).cast("long")
 
 
+def epoch_us(col: Column | str) -> Column:
+    """Microseconds since the epoch of a timestamp column — the ONE place
+    epoch extraction happens engine-wide (DuckDB twin: ``epoch_us(ts)``).
+
+    ``F.unix_micros`` rejects TIMESTAMP_NTZ outright, and the fixtures have
+    already flipped storage type once per round (nanos→micros broke 11
+    queries in round 2). Casting to TIMESTAMP first is a no-op for TIMESTAMP
+    input and, for NTZ input, interprets the wall-clock in the session
+    timezone — pinned UTC by session.py/sources/parquet.py, which is exactly
+    DuckDB's naive-as-UTC ``epoch_us`` semantics. Plans stay whole-stage
+    codegen either way (cast + unix_micros are both JVM expressions)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def MONEY_MICROS_SQL(expr: str) -> str:
     """The DuckDB-side twin of :func:`money_micros`."""
     return f"CAST(floor(({expr}) * 1000000 + 0.5) AS BIGINT)"

@@ -39,22 +39,28 @@ def interval_join_after(
     Returns all columns of ``left`` then all of ``right`` (caller aliases
     beforehand to avoid collisions on shared names).
     """
+    from kafka_stream_sorter_spark.functions.numeric import epoch_us
+
     width_us = int(width_seconds) * 1_000_000
 
-    # exact integer division (`div`), not double `/`: a bucket flipped by a
-    # last-ulp rounding at a boundary would silently drop a matching pair
-    lb = F.expr(f"unix_micros({left_ts}) div {width_us}")
+    # exact integer bucket arithmetic, not double `/`: a bucket flipped by a
+    # last-ulp rounding at a boundary would silently drop a matching pair.
+    # (e - e % w) is an exact multiple of w, so the double division below is
+    # exact for any epoch < 2^53 µs (~year 2255).
+    def bucket(ts_name: str):
+        e = epoch_us(ts_name)
+        return ((e - e % width_us) / width_us).cast("long")
+
+    lb = bucket(left_ts)
     l2 = left.withColumn("_ij_bucket", F.explode(F.array(lb, lb + F.lit(1))))
-    r2 = right.withColumn(
-        "_ij_bucket", F.expr(f"unix_micros({right_ts}) div {width_us}")
-    )
+    r2 = right.withColumn("_ij_bucket", bucket(right_ts))
 
     cond = [l2[k] == r2[k] for k in keys] + [l2["_ij_bucket"] == r2["_ij_bucket"]]
     refined = (
         l2.join(r2, cond)
         .filter(
-            (F.unix_micros(r2[right_ts]) > F.unix_micros(l2[left_ts]))
-            & (F.unix_micros(r2[right_ts]) <= F.unix_micros(l2[left_ts]) + width_us)
+            (epoch_us(r2[right_ts]) > epoch_us(l2[left_ts]))
+            & (epoch_us(r2[right_ts]) <= epoch_us(l2[left_ts]) + width_us)
         )
     )
     keep = [l2[c] for c in left.columns] + [

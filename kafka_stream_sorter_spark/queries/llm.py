@@ -23,6 +23,7 @@ from kafka_stream_sorter_spark.functions.text_hash import (
 )
 from kafka_stream_sorter_spark.operators import dedup, multimodal, similarity, text
 from kafka_stream_sorter_spark.operators.similarity import sql_hyperplane_bucket
+from kafka_stream_sorter_spark.functions.numeric import epoch_us
 from kafka_stream_sorter_spark.registry import query
 from kafka_stream_sorter_spark.sources.parquet import load_table
 
@@ -805,7 +806,7 @@ def udf_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives as ``udf_grouped_regression_pandas`` below, registered as the
     grouped-map extension-point demo, not the production path)."""
     e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
-    x = F.unix_micros(F.col("ts")) / F.lit(1_000_000.0)
+    x = epoch_us("ts") / F.lit(1_000_000.0)
     return e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.regr_slope(F.col("value"), x), 4).alias("slope"),
@@ -854,7 +855,7 @@ def udf_grouped_regression_pandas(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
     e = load_table(spark, sf_dir, "events").select(
-        "user_id", F.unix_micros(F.col("ts")).alias("x_us"), "value"
+        "user_id", epoch_us("ts").alias("x_us"), "value"
     )
     return e.groupBy("user_id").applyInPandas(
         fit, "user_id long, n long, slope double, intercept double"

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_stream_sorter_spark.functions.numeric import money_micros
+from kafka_stream_sorter_spark.functions.numeric import epoch_us, money_micros
 from kafka_stream_sorter_spark.registry import query
 from kafka_stream_sorter_spark.sources.parquet import load_table
 
@@ -665,7 +665,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id",
         "user_id",
-        F.unix_micros(F.col("ts")).alias("ts_us"),
+        epoch_us("ts").alias("ts_us"),
         "prev_purchase_id",
     )
 
@@ -845,7 +845,7 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gap_us = epoch_us("ts") - epoch_us(F.lag("ts").over(w))
     flagged = events.select(
         "user_id",
         "ts",
@@ -902,7 +902,7 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_id",
         "click_id",
         "user_id",
-        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("lag_us"),
+        (epoch_us("click_ts") - epoch_us("view_ts")).alias("lag_us"),
     )
 
 
@@ -1144,7 +1144,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact and identical in both engines; ties (same timestamp) share the
     frame, which RANGE defines away as a determinism hazard."""
     e = load_table(spark, sf_dir, "events")
-    ts_us = F.unix_micros(F.col("ts"))
+    ts_us = epoch_us("ts")
     w = (
         Window.partitionBy("user_id")
         .orderBy(ts_us)

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_stream_sorter_spark.functions.numeric import money_micros
+from kafka_stream_sorter_spark.functions.numeric import epoch_us, money_micros
 from kafka_stream_sorter_spark.registry import query
 from kafka_stream_sorter_spark.streaming import ops
 
@@ -263,7 +263,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_id",
         "click_id",
         F.col("v_user").alias("user_id"),
-        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("lag_us"),
+        (epoch_us("click_ts") - epoch_us("view_ts")).alias("lag_us"),
     )
     return ops.drain_to_table(joined, "append")
 

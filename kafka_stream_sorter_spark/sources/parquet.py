@@ -28,6 +28,38 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize every timestamp-ish column to plain ``TimestampType`` under
+    the UTC session timezone — the engine's single timestamp world.
+
+    The fixtures have stored event time three different ways across rounds
+    (``TIMESTAMP(NANOS)`` → read as ``bigint`` under ``nanosAsLong``;
+    ``timestamp[us]`` → read as ``TIMESTAMP_NTZ``; a tz-tagged file would
+    read as ``TIMESTAMP``), and each silent flip broke every downstream
+    ``unix_micros``/watermark call. This helper accepts all three:
+
+    * ``bigint`` named ``ts`` — legacy nanos read; integer-div to micros
+      (the same ns→µs truncation DuckDB applies).
+    * ``timestamp_ntz`` — cast to TIMESTAMP. Under the UTC session timezone
+      (pinned here, runtime-settable) the cast interprets the wall-clock as
+      UTC, matching DuckDB's naive-as-UTC ``epoch_us``.
+    * ``timestamp`` — passthrough.
+
+    Streaming reuses this exact function (streaming/ops.py) so batch and
+    stream can never disagree on units again.
+    """
+    from pyspark.sql import functions as F
+
+    df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+    for col_name, dtype in df.dtypes:
+        if dtype == "bigint" and col_name == "ts":
+            # integer div — float division would lose ns precision at 2^60
+            df = df.withColumn(col_name, F.timestamp_micros(F.expr("ts div 1000")))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
+    return df
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, rebalance: bool = False
 ) -> DataFrame:
@@ -50,16 +82,7 @@ def load_table(
     df = spark.read.parquet(table_path(sf_dir, name))
     if rebalance:
         df = df.repartition(spark.sparkContext.defaultParallelism)
-    # events.ts is TIMESTAMP(NANOS) in the fixture parquet; Spark reads it
-    # as long (spark.sql.legacy.parquet.nanosAsLong). Convert to a micros
-    # timestamp — the same ns→µs truncation DuckDB applies — so downstream
-    # window/watermark operators see a real TimestampType.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
-
-        # integer div — float division would lose ns precision at 2^60 scale
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_timestamps(df)
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:

@@ -66,36 +66,33 @@ def _stream_shuffle(spark):
         else:
             spark.conf.unset(key)
 
-# File-source schema for events.parquet. ``ts`` is TIMESTAMP(NANOS) in the
-# fixture; with spark.sql.legacy.parquet.nanosAsLong (session.py) the scan
-# yields a long, converted to a micros timestamp below — the identical
-# truncation DuckDB applies (sources/parquet.py does the same for batch).
-EVENTS_STREAM_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
-
 def stream_events(spark, sf_dir: str) -> DataFrame:
     """Unbounded view of the events table via the file streaming source
     (≙ the reference's Kafka `source` topic; swap in
-    sources/kafka.read_topic(streaming=True) when a broker exists)."""
-    # The explicit LongType schema does NOT bypass Spark's TIMESTAMP(NANOS)
-    # rejection — the flag must be on for the scan itself. Runtime-settable,
-    # so set it here for vanilla (non-get_spark) sessions.
+    sources/kafka.read_topic(streaming=True) when a broker exists).
+
+    The stream schema is taken from a batch read of the same file (parquet
+    footer truth), NOT hard-coded: round 2 proved a hard-coded schema rots
+    the moment the fixture's physical timestamp type drifts. Whatever type
+    ``ts`` arrives as, ``normalize_timestamps`` — the SAME function the
+    batch path uses — converts it to TimestampType, so batch and stream can
+    never disagree on time units. The batch read costs one footer fetch at
+    plan time; no data is scanned."""
+    from kafka_stream_sorter_spark.sources.parquet import (
+        normalize_timestamps,
+        table_path,
+    )
+
+    # Needed when the fixture stores TIMESTAMP(NANOS); harmless otherwise.
+    # Runtime-settable, so set it here for vanilla (non-get_spark) sessions.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    file_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(file_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_timestamps(raw)
 
 
 def drain_to_table(sdf: DataFrame, output_mode: str) -> DataFrame:
