@@ -223,6 +223,59 @@ def lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> DataFra
     )
 
 
+def lsh_topk_multiprobe(
+    embeddings: DataFrame, query_ids: list[int], k: int = 5
+) -> DataFrame:
+    """Multi-probe LSH ANN: candidates live in the query's hyperplane bucket
+    OR any bucket at Hamming distance 1 from it (one flipped bit).
+
+    Closes :func:`lsh_topk`'s recall gap — a query in a singleton bucket
+    still reaches its LSH_BITS adjacent buckets, and a near neighbor that
+    disagrees on exactly one plane (the most likely miss, P ∝ θ/π per bit)
+    is recovered. Scale shape is unchanged: the probe set is built by
+    exploding the *broadcast query side* into LSH_BITS+1 probe bucket
+    values, so the corpus is still probed via a pure equi-join on its
+    single precomputed bucket — no corpus replication, no distance math
+    outside the candidate set. Candidate volume is bounded by
+    (LSH_BITS+1) × the per-bucket candidate count; each (query, candidate)
+    pair arises from exactly one probe value (all probes are distinct), so
+    no dedup pass is needed."""
+    emb = _as_double(embeddings).withColumn("bucket", hyperplane_bucket(F.col("embedding")))
+    probes = F.array(
+        F.col("q_bucket"),
+        *[
+            F.col("q_bucket").bitwiseXOR(F.lit(1 << j).cast("long"))
+            for j in range(LSH_BITS)
+        ],
+    )
+    q = (
+        emb.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("bucket").alias("q_bucket"),
+            F.col("embedding").alias("q_emb"),
+        )
+        .withColumn("probe", F.explode(probes))
+    )
+    cand = emb.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("bucket").alias("bucket"),
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.999) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: exact cosine verification over
     candidates blocked by hyperplane bucket — the vector twin of MinHash-LSH

@@ -411,6 +411,36 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_lsh_multiprobe",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    b AS (SELECT vec_id, emb, {sql_hyperplane_bucket('emb')} AS bucket FROM e),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.bucket AS bucket,
+             round(list_cosine_similarity(q.emb, c.emb), 6) AS cos_sim
+      FROM b q JOIN b c
+        ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+       AND (xor(c.bucket, q.bucket) = 0
+            OR (xor(c.bucket, q.bucket) & (xor(c.bucket, q.bucket) - 1)) = 0)
+    )
+    SELECT query_id, neighbor_id, bucket, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: per-query top-5 over the query's bucket plus all
+    Hamming-distance-1 buckets — operators/similarity.py:lsh_topk_multiprobe.
+    The oracle joins on xor(bucket_a, bucket_b) being 0 or a power of two —
+    the same probe set declaratively. Recall strictly dominates
+    ann_lsh_hyperplane at (LSH_BITS+1)× the candidate bound."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk_multiprobe(emb, query_ids=list(range(20)), k=5)
+
+
+@query(
     "ann_vectorized",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -82,6 +82,7 @@ _PRIORITY: list[str] = [
     "sql_interface",
     "ann_ivf_kmeans",
     "udf_grouped_regression_pandas",
+    "ann_lsh_multiprobe",  # new in r3 — must land in the checked prefix
     # (b) failed/errored in r02, fixed this round (8)
     "udf_grouped_regression",
     "join_asof",

@@ -186,3 +186,40 @@ def test_resize_thumbnail_slice_semantics(spark, sf_dir):
         b = r["text"].encode()[:768]
         g = got[r["doc_id"]]
         assert (g["thumb_bytes"], g["thumb_checksum"]) == (len(b), sum(b))
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Multi-probe LSH must return a superset of the single-probe candidate
+    pool per query: every single-probe neighbor set is contained in the
+    multi-probe one (probe set includes the home bucket), and no multi-probe
+    candidate's bucket is more than 1 bit from the query's bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(10))
+    single = similarity.lsh_topk(emb, query_ids=qids, k=50).toPandas()
+    multi = similarity.lsh_topk_multiprobe(emb, query_ids=qids, k=50).toPandas()
+
+    s_count = single.groupby("query_id").size().to_dict()
+    m_count = multi.groupby("query_id").size().to_dict()
+    for q, n in s_count.items():
+        assert m_count.get(q, 0) >= n, f"query {q}: multiprobe shrank the pool"
+
+    # with k large enough to keep whole buckets, single ⊆ multi exactly
+    s_pairs = set(zip(single.query_id, single.neighbor_id))
+    m_pairs = set(zip(multi.query_id, multi.neighbor_id))
+    dropped = s_pairs - m_pairs
+    # single-probe pairs may legitimately fall out of multi's top-50 when
+    # adjacent buckets supply closer neighbors; verify via the bucket rule
+    # instead for those
+    buckets = (
+        emb.withColumn("bucket", similarity.hyperplane_bucket(F.col("embedding").cast("array<double>")))
+        .select("vec_id", "bucket")
+        .toPandas()
+        .set_index("vec_id")["bucket"]
+        .to_dict()
+    )
+    for q, n in zip(multi.query_id, multi.neighbor_id):
+        x = buckets[q] ^ buckets[n]
+        assert x == 0 or (x & (x - 1)) == 0, f"candidate {n} >1 bit from query {q}"
+    for q, n in dropped:
+        # only droppable by ranking pressure, never by bucket exclusion
+        assert len(multi[multi.query_id == q]) == 50
