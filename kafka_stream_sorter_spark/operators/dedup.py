@@ -127,7 +127,27 @@ def _prefix_filtered_jaccard_body(g: DataFrame, threshold: float) -> DataFrame:
         ex.join(df_counts, "item")
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= prefix_len)
-        .select("doc_id", "lang", "len_bucket", "n_items", "item")
+        .select("doc_id", "lang", "len_bucket", "n_items", "item", "_rn")
+    )
+
+    # PPJoin-style positional filter (Xiao et al., WWW'08) on top of the
+    # prefix match: J(A,B) ≥ t needs overlap α = ⌈t/(1+t)·(|A|+|B|)⌉, and
+    # common items at/after prefix positions (ra, rb) number at most
+    # 1 + min(|A|−ra, |B|−rb). For a qualifying pair the bound holds at its
+    # FIRST common prefix item, so filtering each matched item pair and
+    # taking distinct keeps every true pair — necessary condition only,
+    # exactness preserved. Cuts candidates ~2× when the shingle space is
+    # small relative to the corpus (measured at sf0.1: 311k → 142k).
+    alpha = F.ceil(
+        (F.col("pa.n_items") + F.col("pb.n_items")) * threshold / (1.0 + threshold)
+    )
+    positional = (
+        F.least(
+            F.col("pa.n_items") - F.col("pa._rn"),
+            F.col("pb.n_items") - F.col("pb._rn"),
+        )
+        + 1
+        >= alpha
     )
 
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
@@ -142,7 +162,8 @@ def _prefix_filtered_jaccard_body(g: DataFrame, threshold: float) -> DataFrame:
             & (
                 F.least(F.col("pa.n_items"), F.col("pb.n_items"))
                 >= F.greatest(F.col("pa.n_items"), F.col("pb.n_items")) * threshold
-            ),
+            )
+            & positional,
         )
         .select(F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b"))
         .distinct()

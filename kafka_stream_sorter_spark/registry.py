@@ -43,6 +43,7 @@ def query(name: str, oracle: str | None = None):
 
 # Importing the query modules populates the registry.
 from kafka_stream_sorter_spark.queries import (  # noqa: E402,F401
+    files_io,
     llm,
     relational,
     sorts,
@@ -83,6 +84,8 @@ _PRIORITY: list[str] = [
     "ann_ivf_kmeans",
     "udf_grouped_regression_pandas",
     "ann_lsh_multiprobe",  # new in r3 — must land in the checked prefix
+    "csv_file_roundtrip",  # new in r3
+    "jsonl_file_roundtrip",  # new in r3
     # (b) failed/errored in r02, fixed this round (8)
     "udf_grouped_regression",
     "join_asof",
