@@ -1283,3 +1283,77 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, t.token_idx, t.token "
         "FROM __docs_udtf, LATERAL first_tokens(text) t"
     )
+
+
+@query(
+    "agg_time_bucket",
+    oracle="""
+    SELECT CAST(epoch_us(ts) - epoch_us(ts) % 21600000000 AS BIGINT) AS bucket_us,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_micros
+    FROM events
+    GROUP BY bucket_us, event_type
+    """,
+)
+def agg_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: arbitrary-width time
+    buckets (6 h here) from integer epoch arithmetic — the batch twin of
+    stream_window_tumbling for widths date_trunc can't express. One
+    partial-aggregated shuffle on (bucket, type); at 100 TB this is the
+    query a downsampling materialization job runs per chunk, and bucket
+    arithmetic on epoch micros is engine-portable (no calendar logic)."""
+    width_us = 21_600_000_000  # 6 h
+    e = load_table(spark, sf_dir, "events")
+    bucket = (epoch_us("ts") - epoch_us("ts") % width_us).alias("bucket_us")
+    return e.groupBy(bucket, "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(money_micros(F.col("value"))).alias("sum_value_micros"),
+    )
+
+
+@query(
+    "join_fuzzy_levenshtein",
+    oracle="""
+    SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS edit_dist
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey
+     AND a.s_suppkey < b.s_suppkey
+     AND abs(len(a.s_name) - len(b.s_name)) <= 1
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+    """,
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join: supplier-name pairs within edit distance 1,
+    equi-blocked on nationkey with a length pre-filter (|len(a)−len(b)| ≤ d
+    is necessary for distance ≤ d, and it prunes before the O(len²) DP
+    runs). The blocked equi-join is the 100 TB shape — never an unblocked
+    theta-join; at scale the block key would be a char-ngram signature
+    (cf. operators/dedup.py prefix filtering) rather than a dimension
+    column. Both engines implement classic Levenshtein, so the distance and
+    the ≤1 frontier are engine-portable."""
+    s = load_table(spark, sf_dir, "supplier")
+    a = s.select(
+        F.col("s_suppkey").alias("supp_a"),
+        F.col("s_name").alias("name_a"),
+        F.col("s_nationkey").alias("nk_a"),
+    )
+    b = s.select(
+        F.col("s_suppkey").alias("supp_b"),
+        F.col("s_name").alias("name_b"),
+        F.col("s_nationkey").alias("nk_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("nk_a") == F.col("nk_b"))
+            & (F.col("supp_a") < F.col("supp_b"))
+            & (F.abs(F.length("name_a") - F.length("name_b")) <= 1),
+        )
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("edit_dist") <= 1)
+        .select("supp_a", "supp_b", "edit_dist")
+    )

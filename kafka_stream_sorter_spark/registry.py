@@ -86,6 +86,8 @@ _PRIORITY: list[str] = [
     "ann_lsh_multiprobe",  # new in r3 — must land in the checked prefix
     "csv_file_roundtrip",  # new in r3
     "jsonl_file_roundtrip",  # new in r3
+    "agg_time_bucket",  # new in r3
+    "join_fuzzy_levenshtein",  # new in r3
     # (b) failed/errored in r02, fixed this round (8)
     "udf_grouped_regression",
     "join_asof",
