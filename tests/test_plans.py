@@ -170,3 +170,38 @@ def test_sql_interface_rank_group_limit(spark, sf_dir):
     # the SQL-text path must hit the same WindowGroupLimit optimization as
     # the DataFrame builders
     assert_plan_contains(QUERIES["sql_interface"](spark, sf_dir), "WindowGroupLimit")
+
+
+def test_time_bucket_has_partial_aggregation(spark, sf_dir):
+    # bucket rollup must partial-aggregate map-side before its one shuffle
+    plan = assert_plan_contains(QUERIES["agg_time_bucket"](spark, sf_dir), "HashAggregate")
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan  # epoch arithmetic stays JVM-side
+
+
+def test_fuzzy_join_is_blocked_hash_join(spark, sf_dir):
+    # the nationkey block must plan as a hash equi-join (broadcast or
+    # shuffled), NEVER a nested-loop over all pairs; the length prefilter
+    # and levenshtein ride as join residual/post conditions
+    plan = assert_plan_lacks(QUERIES["join_fuzzy_levenshtein"](spark, sf_dir), "BroadcastNestedLoopJoin")
+    assert "HashJoin" in plan
+
+
+def test_multiprobe_probes_broadcast_side_only(spark, sf_dir):
+    # the probe fan-out must explode the (tiny, broadcast) query side; the
+    # corpus side keeps exactly one bucket per row and joins by hash
+    plan = assert_plan_contains(
+        QUERIES["ann_lsh_multiprobe"](spark, sf_dir), "BroadcastHashJoin", "Generate"
+    )
+    # exactly one explode operator (the probe fan-out) on the broadcast
+    # build side — the corpus side must never be replicated per probe.
+    # (formatted mode prints each operator twice: tree + detail section)
+    assert plan.count("Generate") == 2
+    assert "explode" in plan
+
+
+def test_csv_roundtrip_read_prunes_to_declared_schema(spark, sf_dir):
+    # the aggregate only needs 5 columns; the CSV scan cannot prune (row
+    # format), but the plan must still partial-aggregate before shuffling
+    plan = assert_plan_contains(QUERIES["csv_file_roundtrip"](spark, sf_dir), "HashAggregate")
+    assert plan.count("HashAggregate") >= 2

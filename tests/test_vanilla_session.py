@@ -48,6 +48,11 @@ REPRESENTATIVE = [
     "sample_stratified",
     "stream_window_tumbling",
     "udf_grouped_regression_pandas",
+    # file-format round-trips serialize timestamps under the session tz —
+    # the exact thing a vanilla (non-UTC-pinned) session would corrupt
+    "csv_file_roundtrip",
+    "jsonl_file_roundtrip",
+    "agg_time_bucket",
 ]
 for name in REPRESENTATIVE:
     n = QUERIES[name](spark, SF).count()
