@@ -29,6 +29,24 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def vec_norm(a: Column) -> Column:
+    """L2 norm of an array<double> column — the same sequential fold
+    :func:`cosine` uses internally, exposed so pairwise operators can
+    precompute it once per VECTOR instead of re-folding once per PAIR.
+    Higher-order array functions run interpreted (outside whole-stage
+    codegen), so a blocked self-join scoring P pairs pays 3 folds/pair with
+    inline :func:`cosine` but only 1 with stored norms — the "store norms
+    with the vectors" layout every vector store uses at scale. Numerically
+    identical: same fold order, same dot/(na*nb) expression."""
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """:func:`cosine` when both norms are precomputed via :func:`vec_norm`."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    return dot / (na * nb)
+
+
 def _as_double(df: DataFrame) -> DataFrame:
     return df.withColumn("embedding", F.col("embedding").cast("array<double>"))
 
@@ -37,15 +55,22 @@ def brute_force_topk(
     embeddings: DataFrame, query_ids: list[int], k: int = 10
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (self excluded)."""
-    emb = _as_double(embeddings)
+    emb = _as_double(embeddings).withColumn("_norm", vec_norm(F.col("embedding")))
     q = emb.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
     )
     pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        F.round(
+            cosine_with_norms(
+                F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("_norm")
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -198,11 +223,16 @@ def lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> DataFra
     from the vector itself — the self-indexing scale path when no cluster
     assignment exists. Queries landing in singleton buckets return fewer
     than k rows (the standard LSH recall trade; widen with multi-probe)."""
-    emb = _as_double(embeddings).withColumn("bucket", hyperplane_bucket(F.col("embedding")))
+    emb = (
+        _as_double(embeddings)
+        .withColumn("bucket", hyperplane_bucket(F.col("embedding")))
+        .withColumn("_norm", vec_norm(F.col("embedding")))
+    )
     q = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("bucket").alias("q_bucket"),
         F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
     )
     cand = emb.join(
         F.broadcast(q),
@@ -212,7 +242,12 @@ def lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> DataFra
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.col("bucket").alias("bucket"),
-        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        F.round(
+            cosine_with_norms(
+                F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("_norm")
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -240,7 +275,11 @@ def lsh_topk_multiprobe(
     (LSH_BITS+1) × the per-bucket candidate count; each (query, candidate)
     pair arises from exactly one probe value (all probes are distinct), so
     no dedup pass is needed."""
-    emb = _as_double(embeddings).withColumn("bucket", hyperplane_bucket(F.col("embedding")))
+    emb = (
+        _as_double(embeddings)
+        .withColumn("bucket", hyperplane_bucket(F.col("embedding")))
+        .withColumn("_norm", vec_norm(F.col("embedding")))
+    )
     probes = F.array(
         F.col("q_bucket"),
         *[
@@ -254,6 +293,7 @@ def lsh_topk_multiprobe(
             F.col("vec_id").alias("query_id"),
             F.col("bucket").alias("q_bucket"),
             F.col("embedding").alias("q_emb"),
+            F.col("_norm").alias("q_norm"),
         )
         .withColumn("probe", F.explode(probes))
     )
@@ -265,7 +305,12 @@ def lsh_topk_multiprobe(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.col("bucket").alias("bucket"),
-        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        F.round(
+            cosine_with_norms(
+                F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("_norm")
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -286,7 +331,11 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.999) ->
     embeddings are isotropic random unit vectors (no true near-dups exist at
     any sf), so the registered query sets the threshold at the similarity
     distribution's tail to keep the verify path exercised end-to-end."""
-    emb = _as_double(embeddings).withColumn("bucket", hyperplane_bucket(F.col("embedding")))
+    emb = (
+        _as_double(embeddings)
+        .withColumn("bucket", hyperplane_bucket(F.col("embedding")))
+        .withColumn("_norm", vec_norm(F.col("embedding")))
+    )
     a, b = emb.alias("a"), emb.alias("b")
     return (
         a.join(
@@ -298,7 +347,15 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.999) ->
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.bucket").alias("bucket"),
-            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos_sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col("a.embedding"),
+                    F.col("b.embedding"),
+                    F.col("a._norm"),
+                    F.col("b._norm"),
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -308,11 +365,12 @@ def blocked_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> Dat
     """IVF-style ANN: candidates share the query's block (label ≙ coarse
     cluster id). The corpus-side join key makes this an ordinary shuffle
     join — per-block quadratic, never corpus-quadratic."""
-    emb = _as_double(embeddings)
+    emb = _as_double(embeddings).withColumn("_norm", vec_norm(F.col("embedding")))
     q = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
         F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
     )
     cand = emb.join(
         F.broadcast(q),
@@ -322,7 +380,12 @@ def blocked_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> Dat
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").cast("long").alias("block"),
-        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        F.round(
+            cosine_with_norms(
+                F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("_norm")
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -342,7 +405,11 @@ def knn_self_join(embeddings: DataFrame, k: int = 3) -> DataFrame:
     candidates only. At 100 TB, LSH_BITS scales the bucket count to keep
     each block executor-sized; vectors in singleton buckets yield no rows
     (the standard LSH recall trade — widen with multi-probe)."""
-    emb = _as_double(embeddings).withColumn("bucket", hyperplane_bucket(F.col("embedding")))
+    emb = (
+        _as_double(embeddings)
+        .withColumn("bucket", hyperplane_bucket(F.col("embedding")))
+        .withColumn("_norm", vec_norm(F.col("embedding")))
+    )
     a, b = emb.alias("a"), emb.alias("b")
     scored = a.join(
         b,
@@ -351,7 +418,15 @@ def knn_self_join(embeddings: DataFrame, k: int = 3) -> DataFrame:
         F.col("a.vec_id").alias("query_id"),
         F.col("b.vec_id").alias("neighbor_id"),
         F.col("a.bucket").alias("bucket"),
-        F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos_sim"),
+        F.round(
+            cosine_with_norms(
+                F.col("a.embedding"),
+                F.col("b.embedding"),
+                F.col("a._norm"),
+                F.col("b._norm"),
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
@@ -451,11 +526,14 @@ def ivf_kmeans_topk(
             )
         cent = {cid: new.get(cid, vec) for cid, vec in cent.items()}
 
-    final = base.withColumn("cluster", _nearest_cluster(cent))
+    final = base.withColumn("cluster", _nearest_cluster(cent)).withColumn(
+        "_norm", vec_norm(F.col("embedding"))
+    )
     q = final.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("cluster").alias("q_cluster"),
         F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
     )
     cand = final.join(
         F.broadcast(q),
@@ -465,7 +543,12 @@ def ivf_kmeans_topk(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.col("cluster").cast("long").alias("cluster"),
-        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        F.round(
+            cosine_with_norms(
+                F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("_norm")
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
