@@ -294,3 +294,20 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_event_type"),
         F.col("value").alias("last_value"),
     )
+
+
+@query(
+    "stream_topk",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events ORDER BY value DESC, event_id LIMIT 100
+    """,
+)
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming global top-k with O(k × n_batches) state: per-batch local
+    top-k into a candidate store, global re-rank at read —
+    streaming/ops.py:drain_topk. The streaming twin of the batch `topk`
+    query; exact because the global top-k is a subset of the union of
+    per-batch top-ks."""
+    sdf = ops.stream_events(spark, sf_dir).select("event_id", "user_id", "value")
+    return ops.drain_topk(sdf, 100, [F.col("value").desc(), F.col("event_id").asc()])

@@ -142,6 +142,32 @@ def drain_sorted(sdf: DataFrame, keys: list[str]) -> DataFrame:
     return sdf.sparkSession.read.parquet(out)
 
 
+def drain_topk(sdf: DataFrame, k: int, order_cols: list) -> DataFrame:
+    """Bounded-state streaming top-k: each micro-batch contributes its local
+    top-k (TakeOrderedAndProject — only partitions×k rows move per batch) to
+    an append-only candidate store; the read side re-ranks the candidates
+    globally. The global top-k is always a subset of the union of per-batch
+    top-ks, so the result is exact while state stays O(k × n_batches) —
+    never proportional to the stream. The streaming twin of the batch
+    ``topk`` query (≙ the reference's validator prefix, test_validation.sh);
+    at 100 TB the candidate store is a compacted topic/table the next batch
+    folds into."""
+    out = tempfile.mkdtemp(prefix="stream_topk_")
+
+    def emit(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.orderBy(*order_cols).limit(k).write.mode("append").parquet(out)
+
+    with _stream_shuffle(sdf.sparkSession):
+        q = (
+            sdf.writeStream.foreachBatch(emit)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return sdf.sparkSession.read.parquet(out).orderBy(*order_cols).limit(k)
+
+
 def user_running_stats(sdf: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user running
     (count, integer-micros sum, max) over the event stream. The reference has
