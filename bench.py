@@ -81,14 +81,21 @@ def main() -> None:
         # the work — the skew every low-cardinality global sort hits at
         # scale). The tie-break makes ranges fine-grained; same spec as the
         # engine's sort_low_cardinality (reference tie order is arbitrary).
+        # min-of-3 per sort: this box is a shared VM and single-shot sort
+        # timings have shown 3x run-to-run swings from neighbor load with
+        # identical code; the minimum is the standard noise-robust estimate
+        # of what the machine can actually do.
         for key, order in (
             ("id", ["id"]),
             ("name", ["name"]),
             ("continent", ["continent", "id"]),
         ):
-            t0 = time.perf_counter()
-            src.orderBy(*order).write.format("noop").mode("overwrite").save()
-            timings[f"ref_sort_{key}"] = round(time.perf_counter() - t0, 3)
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                src.orderBy(*order).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            timings[f"ref_sort_{key}"] = round(min(runs), 3)
     except Exception as exc:  # noqa: BLE001 - still emit the per-query JSON
         errors["ref_workload"] = f"{type(exc).__name__}: {exc}"[:500]
     finally:
