@@ -74,3 +74,92 @@ def test_connected_components_no_edges(spark):
     edges = spark.createDataFrame([], "doc_a long, doc_b long")
     got = {r.doc_id: r.component_id for r in connected_dedup_groups(nodes, edges).collect()}
     assert got == {i: i for i in range(5)}
+
+
+def test_interval_join_boundary_exactness(spark):
+    """Pairs land exactly on the (open, closed] boundary: r.ts == l.ts is
+    excluded, r.ts == l.ts + width is included, one µs past is excluded —
+    and bucket replication finds pairs that straddle a bucket edge."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def t(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    left = spark.createDataFrame([(1, t(0))], ["k", "lts"])
+    width = 10
+    right = spark.createDataFrame(
+        [
+            (1, 100, t(0)),       # == l.ts → excluded (strict >)
+            (1, 101, t(5)),       # inside, same bucket
+            (1, 102, t(10)),      # == l.ts + width → included (<=)
+            (1, 103, t(10) + dt.timedelta(microseconds=1)),  # 1µs past → out
+            (1, 104, t(15)),      # next bucket, out of window
+        ],
+        ["k", "rid", "rts"],
+    )
+    out = interval_join_after(left, right, ["k"], "lts", "rts", width)
+    assert sorted(r.rid for r in out.collect()) == [101, 102]
+
+    # straddle: left at 9s, window (9, 19]; right at 12s is in bucket 1
+    # while left's home bucket is 0 — only the +1 replica can find it
+    left2 = spark.createDataFrame([(1, t(9))], ["k", "lts"])
+    out2 = interval_join_after(left2, right, ["k"], "lts", "rts", width)
+    assert sorted(r.rid for r in out2.collect()) == [102, 103, 104]
+
+
+def test_time_bucket_boundary(spark):
+    """An event exactly on a bucket edge belongs to the bucket it opens."""
+    from kafka_stream_sorter_spark.functions.numeric import epoch_us
+
+    import datetime as dt
+
+    width = 21_600_000_000  # 6h, as agg_time_bucket
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 0, 0),),   # edge: bucket start
+        (dt.datetime(2024, 1, 1, 5, 59, 59),), # last µs-ish of bucket 0
+        (dt.datetime(2024, 1, 1, 6, 0, 0),),   # edge: next bucket
+    ]
+    df = spark.createDataFrame(rows, ["ts"]).select(
+        ((epoch_us("ts") - epoch_us("ts") % width) / width).cast("long").alias("b")
+    )
+    b = [r.b for r in df.collect()]
+    assert b[0] == b[1] and b[2] == b[0] + 1
+
+
+def test_fuzzy_join_blocks_exclude_cross_nation(spark):
+    """Identical names in different nations must NOT pair (blocked join);
+    distance-2 names in one nation must not pass the <=1 frontier."""
+    from kafka_stream_sorter_spark.registry import QUERIES
+
+    rows = [
+        (1, "Supplier#000000001", 1, 0.0),
+        (2, "Supplier#000000001", 2, 0.0),  # same name, other nation
+        (3, "Supplier#000000002", 1, 0.0),  # dist 1 from #1
+        (4, "Supplier#000000033", 1, 0.0),  # dist 2 from #1
+    ]
+    sup = spark.createDataFrame(rows, ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+    sup.createOrReplaceTempView("__fuzzy_edge")
+    from pyspark.sql import functions as _F
+    a = sup.select(_F.col("s_suppkey").alias("supp_a"), _F.col("s_name").alias("name_a"), _F.col("s_nationkey").alias("nk_a"))
+    b = sup.select(_F.col("s_suppkey").alias("supp_b"), _F.col("s_name").alias("name_b"), _F.col("s_nationkey").alias("nk_b"))
+    out = (
+        a.join(b, (_F.col("nk_a") == _F.col("nk_b")) & (_F.col("supp_a") < _F.col("supp_b"))
+               & (_F.abs(_F.length("name_a") - _F.length("name_b")) <= 1))
+        .withColumn("d", _F.levenshtein("name_a", "name_b"))
+        .filter(_F.col("d") <= 1)
+        .select("supp_a", "supp_b")
+    )
+    got = {(r.supp_a, r.supp_b) for r in out.collect()}
+    assert got == {(1, 3)}  # only the within-nation distance-1 pair
+
+
+def test_stream_topk_ties_deterministic(spark, sf_dir):
+    """stream_topk's boundary is deterministic under value ties thanks to
+    the event_id tie-break: re-running yields the identical row set."""
+    from kafka_stream_sorter_spark.registry import QUERIES
+
+    a = {(r.event_id, r.value) for r in QUERIES["stream_topk"](spark, sf_dir).collect()}
+    b = {(r.event_id, r.value) for r in QUERIES["stream_topk"](spark, sf_dir).collect()}
+    assert a == b and len(a) == 100
