@@ -49,11 +49,21 @@ def count_violations(df: DataFrame, *keys: str, ascending: bool = True) -> int:
         bounds = (
             keyed.groupBy("_pid")
             .agg(F.min_by("k", "_pos").alias("first_k"), F.max_by("k", "_pos").alias("last_k"))
-            .orderBy("_pid")
             .collect()
         )
     finally:
         keyed.unpersist()
+    # Boundary pairs are compared in RANGE order (sorted by each run's first
+    # key), not read-partition order: a freshly sorted in-memory frame emits
+    # partitions in key order so the two coincide, but a parquet RE-READ of
+    # range-disjoint sorted files bin-packs splits by size (FileSourceScan
+    # orders splits length-descending), so _pid order is arbitrary there.
+    # Sorting bounds by first key keeps the check exact in both cases: runs
+    # that overlap still collide with their range-order neighbor, and
+    # within-run inversions are already counted above. "Sorted" for a file-
+    # backed dataset = internally-sorted, pairwise-disjoint runs — exactly
+    # what a reader needs to recover total order with a file-level merge.
+    bounds = sorted(bounds, key=lambda r: tuple(r["first_k"]), reverse=not ascending)
     cross = 0
     for left, right in zip(bounds, bounds[1:]):
         lo, hi = tuple(left["last_k"]), tuple(right["first_k"])

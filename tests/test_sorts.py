@@ -63,3 +63,25 @@ def test_with_global_position(spark, sf_dir):
     assert [r["global_pos"] for r in rows] == list(range(1, len(rows) + 1))
     ids = [r["event_id"] for r in rows]
     assert ids == sorted(ids)
+
+
+def test_validate_sorted_parquet_reread(spark, tmp_path):
+    """A range-disjoint sorted parquet set must validate as sorted after
+    re-read even though FileSourceScan bin-packs splits by size (read
+    partition order != range order) — and genuinely unsorted data must
+    still fail."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_sorter_spark.validate import assert_sorted, count_violations
+
+    df = spark.range(0, 50_000).select(
+        (F.col("id") * 2654435761 % 1_000_003).alias("k"), F.col("id")
+    )
+    out = str(tmp_path / "sorted")
+    df.orderBy("k", "id").write.parquet(out)
+    back = spark.read.parquet(out)
+    assert_sorted(back, "k", "id")  # must not false-positive on re-read
+
+    bad = str(tmp_path / "unsorted")
+    df.write.parquet(bad)  # hash-ish natural order, not sorted
+    assert count_violations(spark.read.parquet(bad), "k", "id") > 0
