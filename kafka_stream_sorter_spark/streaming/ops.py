@@ -200,7 +200,11 @@ def user_running_stats(sdf: DataFrame) -> DataFrame:
     def update(key, pdf_iter, state):
         import numpy as np
 
-        n, s, m = state.get() if state.exists else (0, 0, None)
+        # GroupState.get is a PROPERTY returning the state tuple (calling it
+        # raises "'tuple' object is not callable") — only reachable from the
+        # second micro-batch on, so single-batch fixtures can't catch a
+        # regression here; tests/test_streaming_incremental.py does.
+        n, s, m = state.get if state.exists else (0, 0, None)
         for pdf in pdf_iter:
             v = pdf["value"].to_numpy()
             n += len(v)

@@ -1,0 +1,124 @@
+"""Multi-micro-batch streaming: the fixture drains are single-batch (one
+parquet file), which never exercises cross-batch state. These tests split
+the events table into several files and stream with maxFilesPerTrigger=1,
+so state genuinely accumulates across micro-batches — and a second run
+from the same checkpoint must resume, not reprocess."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_stream_sorter_spark.sources.parquet import load_table
+
+
+@pytest.fixture(scope="module")
+def split_events_dir(spark, sf_dir):
+    """events split into 4 files by event_id range (deterministic)."""
+    out = tempfile.mkdtemp(prefix="events_split_")
+    ev = load_table(spark, sf_dir, "events")
+    # repartitionByRange gives 4 disjoint, deterministic files
+    ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(out)
+    return out
+
+
+def _stream(spark, path):
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+
+
+def test_stateful_agg_accumulates_across_batches(spark, sf_dir, split_events_dir):
+    """Per-user counts via applyInPandasWithState over 4+ micro-batches must
+    equal the batch groupBy — state carries across batches, nothing is
+    double-counted or dropped."""
+    from kafka_stream_sorter_spark.streaming.ops import (
+        drain_to_table,
+        user_running_stats,
+    )
+
+    sdf = user_running_stats(_stream(spark, split_events_dir))
+    got = drain_to_table(sdf, "update")
+    # update mode re-emits a user's row per batch it appears in; the LAST
+    # emission per user is the final state. max(n_events) == last emission
+    # for monotone counters.
+    final = got.groupBy("user_id").agg(F.max("n_events").alias("n"))
+    expected = (
+        load_table(spark, sf_dir, "events").groupBy("user_id").count()
+    )
+    diff = (
+        final.join(expected, "user_id")
+        .filter(F.col("n") != F.col("count"))
+        .count()
+    )
+    assert diff == 0
+    assert final.count() == expected.count()
+
+
+def test_windowed_agg_across_batches_matches_batch(spark, sf_dir, split_events_dir):
+    """Tumbling-window counts streamed one file at a time equal the batch
+    result — watermark bookkeeping across batches loses nothing (event
+    files arrive in event_id order, not time order, so batches genuinely
+    interleave event time)."""
+    from kafka_stream_sorter_spark.streaming.ops import drain_to_table
+
+    sdf = (
+        _stream(spark, split_events_dir)
+        .withWatermark("ts", "100 days")  # nothing is ever late → exact
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    got = drain_to_table(sdf, "complete")
+    expected = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("ws"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, split_events_dir):
+    """AvailableNow + a persistent checkpoint: a second drain over the same
+    directory re-emits nothing; after a new file lands, only its rows are
+    processed — exactly-once file-source semantics."""
+    import shutil
+
+    src = tempfile.mkdtemp(prefix="resume_src_")
+    ckpt = tempfile.mkdtemp(prefix="resume_ckpt_")
+    sink = tempfile.mkdtemp(prefix="resume_sink_")
+
+    files = sorted(
+        f for f in __import__("os").listdir(split_events_dir) if f.endswith(".parquet")
+    )
+    shutil.copy(f"{split_events_dir}/{files[0]}", f"{src}/{files[0]}")
+
+    schema = spark.read.parquet(split_events_dir).schema
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .select("event_id")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink).count()
+
+    n1 = spark.read.parquet(f"{src}/{files[0]}").count()
+    assert drain() == n1
+    assert drain() == n1  # idempotent: nothing new → nothing re-emitted
+
+    shutil.copy(f"{split_events_dir}/{files[1]}", f"{src}/{files[1]}")
+    n2 = spark.read.parquet(f"{src}/{files[1]}").count()
+    assert drain() == n1 + n2  # only the new file's rows were added
