@@ -122,3 +122,48 @@ def test_checkpoint_resume_processes_only_new_files(spark, split_events_dir):
     shutil.copy(f"{split_events_dir}/{files[1]}", f"{src}/{files[1]}")
     n2 = spark.read.parquet(f"{src}/{files[1]}").count()
     assert drain() == n1 + n2  # only the new file's rows were added
+
+
+def test_cdc_upsert_across_batches_keeps_global_latest(spark, sf_dir, split_events_dir):
+    """cdc_latest over 4 micro-batches: per-batch compaction appends deltas,
+    and the read side must resolve the GLOBAL winner per key across deltas
+    written by different batches."""
+    from kafka_stream_sorter_spark.streaming.ops import cdc_latest
+
+    got = cdc_latest(
+        _stream(spark, split_events_dir),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+    ).select("user_id", "event_id")
+
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    expected = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id")
+    )
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
+def test_stream_topk_across_batches_is_exact(spark, sf_dir, split_events_dir):
+    """drain_topk over 4 micro-batches equals the batch top-100: the global
+    top-k is a subset of the union of per-batch top-ks even when the best
+    rows are concentrated in one batch."""
+    from kafka_stream_sorter_spark.streaming.ops import drain_topk
+
+    got = drain_topk(
+        _stream(spark, split_events_dir).select("event_id", "value"),
+        100,
+        [F.col("value").desc(), F.col("event_id").asc()],
+    )
+    expected = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "value")
+        .orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(100)
+    )
+    assert [r.event_id for r in got.collect()] == [r.event_id for r in expected.collect()]
