@@ -17,3 +17,23 @@ merge (``external_sort.go:33-59,205-363``) — are all subsumed by Spark's
 """
 
 __version__ = "0.1.0"
+
+_LAZY = {
+    "get_spark": ("kafka_stream_sorter_spark.session", "get_spark"),
+    "load_table": ("kafka_stream_sorter_spark.sources.parquet", "load_table"),
+    "register_views": ("kafka_stream_sorter_spark.sources.parquet", "register_views"),
+    "QUERIES": ("kafka_stream_sorter_spark.registry", "QUERIES"),
+    "ORACLES": ("kafka_stream_sorter_spark.registry", "ORACLES"),
+}
+
+
+def __getattr__(name: str):
+    """Lazy top-level API (`from kafka_stream_sorter_spark import get_spark,
+    load_table, QUERIES`) without paying the full registry import — and
+    without importing pyspark — until first use."""
+    if name in _LAZY:
+        import importlib
+
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
