@@ -121,11 +121,14 @@ def drain_sorted(sdf: DataFrame, keys: list[str]) -> DataFrame:
     stream and materialize a totally ordered result (≙ ExternalSort →
     sorted_* topic, /root/reference/internal/sort/external_sort.go:69-201).
 
-    foreachBatch sorts each micro-batch globally (range exchange + per-range
-    external sort) and appends range-disjoint sorted parquet files — the
-    distributed equivalent of the reference's single-writer merge phase.
-    Total order is recoverable from the sort keys; no single-writer
-    bottleneck."""
+    Two phases, exactly like the reference's chunk-sort + merge:
+    foreachBatch sorts each micro-batch (range exchange + per-range
+    external sort) into sorted parquet runs — runs from DIFFERENT batches
+    overlap in key range, like the reference's spill chunks — then the
+    returned frame applies one merge pass (`orderBy` over the runs). On a
+    single-batch drain the merge is a near-no-op (data already globally
+    sorted within the one run); on a multi-batch drain it is the k-way
+    merge phase, distributed. No single-writer bottleneck either way."""
     out = tempfile.mkdtemp(prefix="sorted_drain_")
 
     def emit(batch_df: DataFrame, _batch_id: int) -> None:
@@ -139,7 +142,7 @@ def drain_sorted(sdf: DataFrame, keys: list[str]) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return sdf.sparkSession.read.parquet(out)
+    return sdf.sparkSession.read.parquet(out).orderBy(*keys)
 
 
 def drain_topk(sdf: DataFrame, k: int, order_cols: list) -> DataFrame:

@@ -167,3 +167,20 @@ def test_stream_topk_across_batches_is_exact(spark, sf_dir, split_events_dir):
         .limit(100)
     )
     assert [r.event_id for r in got.collect()] == [r.event_id for r in expected.collect()]
+
+
+def test_sorted_drain_across_batches_is_totally_ordered(spark, sf_dir, split_events_dir):
+    """drain_sorted over 4 micro-batches: per-batch runs OVERLAP in key
+    range (files split by event_id, sorted by event_id — but batches
+    arrive in file order, so with a value sort they'd overlap; here we
+    sort by value to force overlapping runs), and the merge pass must
+    still return a totally ordered frame with full content."""
+    from kafka_stream_sorter_spark.streaming.ops import drain_sorted
+    from kafka_stream_sorter_spark.validate import assert_count_conserved, assert_sorted
+
+    got = drain_sorted(
+        _stream(spark, split_events_dir).select("event_id", "value"),
+        ["value", "event_id"],
+    )
+    assert_sorted(got, "value", "event_id")
+    assert_count_conserved(load_table(spark, sf_dir, "events"), got)
