@@ -184,3 +184,78 @@ def test_sorted_drain_across_batches_is_totally_ordered(spark, sf_dir, split_eve
     )
     assert_sorted(got, "value", "event_id")
     assert_count_conserved(load_table(spark, sf_dir, "events"), got)
+
+
+def test_dedup_keys_across_batches_matches_distinct(spark, sf_dir, split_events_dir):
+    """Streaming dropDuplicates state spans micro-batches: keys seen in
+    batch 1 must suppress re-emission in batch 4."""
+    from kafka_stream_sorter_spark.streaming.ops import drain_to_table
+
+    sdf = (
+        _stream(spark, split_events_dir)
+        .withWatermark("ts", "100 days")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    got = drain_to_table(sdf, "append")
+    expected = load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+
+
+def test_stream_stream_join_across_batches_matches_batch(spark, sf_dir, split_events_dir):
+    """Stream-stream interval join with both sides arriving over 4 batches:
+    with a watermark generous enough that nothing is late, the result must
+    equal the batch non-equi join — pairs whose two sides arrived in
+    DIFFERENT micro-batches must still match via the join state."""
+    from kafka_stream_sorter_spark.functions.numeric import epoch_us
+    from kafka_stream_sorter_spark.streaming.ops import drain_to_table
+
+    views = (
+        _stream(spark, split_events_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "100 days")
+    )
+    clicks = (
+        _stream(spark, split_events_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "100 days")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "v_user = c_user AND click_ts > view_ts "
+            "AND click_ts <= view_ts + interval 2 hours"
+        ),
+    ).select("view_id", "click_id")
+    got = {tuple(r) for r in drain_to_table(joined, "append").collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("user_id").alias("u"), F.col("ts").alias("vt")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("u2"), F.col("ts").alias("ct")
+    )
+    expected = {
+        tuple(r)
+        for r in v.join(
+            c,
+            (F.col("u") == F.col("u2"))
+            & (F.col("ct") > F.col("vt"))
+            & (epoch_us("ct") <= epoch_us("vt") + 7200 * 1_000_000),
+        )
+        .select("view_id", "click_id")
+        .collect()
+    }
+    assert got == expected and len(expected) > 0
