@@ -1,0 +1,72 @@
+"""Randomized pure-Python replica of the MinHash/banding pipeline: any
+silent drift in hash constants, permutation arity handling, or fold order
+breaks bit-equality here before it breaks an oracle."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from kafka_stream_sorter_spark.functions.text_hash import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_A,
+    MINHASH_B,
+    P,
+    band_bucket,
+    minhash_signature,
+    token_hashes,
+)
+
+
+def _py_char_hash(s: str) -> int:
+    acc = 0
+    for c in s:
+        acc = (acc * 31 + ord(c)) % P
+    return acc
+
+
+def _py_signature(text: str) -> list[int]:
+    toks = sorted(set(text.strip().lower().split()))
+    hs = [_py_char_hash(t) for t in toks]
+    return [min((h * a + b) % P for h in hs) for a, b in zip(MINHASH_A, MINHASH_B)]
+
+
+def _py_bands(sig: list[int]) -> list[int]:
+    out = []
+    for b in range(LSH_BANDS):
+        acc = 0
+        for mh in sig[b * LSH_ROWS : (b + 1) * LSH_ROWS]:
+            acc = (acc * 31 + mh) % P
+        out.append(acc)
+    return out
+
+
+def test_minhash_and_bands_match_python_replica(spark):
+    rng = random.Random(17)
+    vocab = [f"tok{i}" for i in range(40)] + ["a", "zz", "Hello", "WORLD"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25)))
+        for _ in range(50)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    sig_cols = minhash_signature(token_hashes(toks))
+    bands = [
+        band_bucket(sig_cols[b * LSH_ROWS : (b + 1) * LSH_ROWS]).alias(f"band{b}")
+        for b in range(LSH_BANDS)
+    ]
+    rows = {
+        r.i: r
+        for r in df.select(
+            "i", *[c.alias(f"mh{j}") for j, c in enumerate(sig_cols)], *bands
+        ).collect()
+    }
+    for i, text in enumerate(texts):
+        want_sig = _py_signature(text)
+        got_sig = [rows[i][f"mh{j}"] for j in range(len(MINHASH_A))]
+        assert got_sig == want_sig, f"doc {i}: signature drift"
+        want_bands = _py_bands(want_sig)
+        got_bands = [rows[i][f"band{b}"] for b in range(LSH_BANDS)]
+        assert got_bands == want_bands, f"doc {i}: band drift"
