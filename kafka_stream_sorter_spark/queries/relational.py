@@ -1357,3 +1357,48 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 1)
         .select("supp_a", "supp_b", "edit_dist")
     )
+
+
+@query(
+    "agg_quantiles_approx",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS exact_p25,
+           round(quantile_cont(value, 0.5),  6) AS exact_p50,
+           round(quantile_cont(value, 0.95), 6) AS exact_p95,
+           TRUE AS p25_within_tol,
+           TRUE AS p50_within_tol,
+           TRUE AS p95_within_tol
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles — the 100 TB budget twin of agg_quantiles,
+    completing the sketch family (HLL distincts ≙ agg_approx_distinct,
+    quantile summaries here). approx_percentile keeps a bounded
+    Greenwald-Khanna summary per group (accuracy 1/ε = 10000 → 0.01% rank
+    error) instead of shuffling full value lists. Like the HLL query, the
+    sketch value itself is engine-specific, so the driver-checkable
+    contract is the accuracy bound: emit exact percentiles plus a
+    within-5%-of-exact boolean per estimate; the oracle asserts the
+    booleans against DuckDB's exact quantile_cont. A 0.01% rank error on
+    the fixtures' smooth value distribution is orders of magnitude inside
+    the 5% value tolerance."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    exact = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.95)))
+    approx = F.percentile_approx(
+        "value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.95)), F.lit(10_000)
+    )
+    agged = e.groupBy("event_type").agg(exact.alias("_ex"), approx.alias("_ap"))
+    within = lambda i: (  # noqa: E731
+        F.abs(F.col("_ap")[i] - F.col("_ex")[i]) <= 0.05 * F.abs(F.col("_ex")[i])
+    )
+    return agged.select(
+        "event_type",
+        F.round(F.col("_ex")[0], 6).alias("exact_p25"),
+        F.round(F.col("_ex")[1], 6).alias("exact_p50"),
+        F.round(F.col("_ex")[2], 6).alias("exact_p95"),
+        within(0).alias("p25_within_tol"),
+        within(1).alias("p50_within_tol"),
+        within(2).alias("p95_within_tol"),
+    )
