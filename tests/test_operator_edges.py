@@ -163,3 +163,25 @@ def test_stream_topk_ties_deterministic(spark, sf_dir):
     a = {(r.event_id, r.value) for r in QUERIES["stream_topk"](spark, sf_dir).collect()}
     b = {(r.event_id, r.value) for r in QUERIES["stream_topk"](spark, sf_dir).collect()}
     assert a == b and len(a) == 100
+
+
+def test_interval_join_pre_epoch_timestamps(spark):
+    """Bucket arithmetic must hold for pre-1970 (negative-epoch) timestamps:
+    truncation-toward-zero division still satisfies the two-bucket covering
+    property, so no qualifying pair is dropped."""
+    import datetime as dt
+
+    base = dt.datetime(1969, 12, 31, 23, 59, 30)  # 30s before the epoch
+
+    def t(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    left = spark.createDataFrame([(1, t(0))], ["k", "lts"])
+    right = spark.createDataFrame(
+        [(1, 200, t(5)), (1, 201, t(10)), (1, 202, t(35)), (1, 203, t(0))],
+        ["k", "rid", "rts"],
+    )
+    # width 10s, window (base, base+10]: rid 200 in, 201 on the inclusive
+    # edge (straddles the epoch boundary itself), 202 out, 203 excluded
+    out = interval_join_after(left, right, ["k"], "lts", "rts", 10)
+    assert sorted(r.rid for r in out.collect()) == [200, 201]
