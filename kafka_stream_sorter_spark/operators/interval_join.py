@@ -67,3 +67,69 @@ def interval_join_after(
         r2[c] for c in right.columns if c not in keys
     ]
     return refined.select(*keep)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Interval OVERLAP join: pairs sharing equality keys whose CLOSED
+    intervals intersect — ``l.start <= r.end AND r.start <= l.end``. The
+    two-sided sibling of :func:`interval_join_after` (points vs a window
+    there; intervals vs intervals here) — the 1-D case of a distributed
+    spatial join.
+
+    Scale path: both sides replicate each interval into every
+    ``bucket_seconds`` grid cell it touches (``floor(start/w)`` ..
+    ``floor(end/w)`` — replication factor 1 + ceil(len/w), so pick ``w``
+    near the typical interval length), then a pure hash equi-join on
+    ``(keys..., cell)`` with the exact overlap predicate as residual. A
+    pair whose intervals span several shared cells would match once per
+    cell, so each pair is emitted only at its REFERENCE POINT — the first
+    cell where both intervals are present,
+    ``max(floor(l.start/w), floor(r.start/w))`` — the standard
+    deduplication-free technique of distributed spatial joins (each pair
+    checked exactly once, no `distinct` shuffle afterward).
+
+    Returns all columns of ``left`` then of ``right`` (caller aliases to
+    avoid collisions; the ``keys`` columns are emitted once)."""
+    from kafka_stream_sorter_spark.functions.numeric import epoch_us
+
+    w_us = int(bucket_seconds) * 1_000_000
+
+    def cell(col_name: str):
+        e = epoch_us(col_name)
+        return ((e - e % w_us) / w_us).cast("long")
+
+    l2 = left.withColumn(
+        "_ov_cell",
+        F.explode(F.sequence(cell(left_start), cell(left_end))),
+    ).withColumn("_ov_ref_l", cell(left_start))
+    r2 = right.withColumn(
+        "_ov_cell",
+        F.explode(F.sequence(cell(right_start), cell(right_end))),
+    ).withColumn("_ov_ref_r", cell(right_start))
+
+    cond = [l2[k] == r2[k] for k in keys] + [l2["_ov_cell"] == r2["_ov_cell"]]
+    joined = (
+        l2.join(r2, cond)
+        # exact overlap of closed intervals
+        .filter(
+            (epoch_us(l2[left_start]) <= epoch_us(r2[right_end]))
+            & (epoch_us(r2[right_start]) <= epoch_us(l2[left_end]))
+        )
+        # reference point: emit only in the first common cell
+        .filter(
+            l2["_ov_cell"] == F.greatest(l2["_ov_ref_l"], r2["_ov_ref_r"])
+        )
+    )
+    keep = [l2[c] for c in left.columns] + [
+        r2[c] for c in right.columns if c not in keys
+    ]
+    return joined.select(*keep)

@@ -1402,3 +1402,57 @@ def agg_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         within(1).alias("p50_within_tol"),
         within(2).alias("p95_within_tol"),
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           CAST(epoch_us(least(v.ts + INTERVAL 45 MINUTE, p.ts + INTERVAL 45 MINUTE))
+                - epoch_us(greatest(v.ts, p.ts)) AS BIGINT) AS overlap_us
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND v.ts <= p.ts + INTERVAL 45 MINUTE
+     AND p.ts <= v.ts + INTERVAL 45 MINUTE
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval OVERLAP join — two-sided sibling of join_interval_bucketed:
+    each view and purchase carries a 45-minute activity interval; pairs of
+    the same user whose intervals intersect are joined, with the overlap
+    duration emitted. operators/interval_join.py:interval_overlap_join runs
+    it as a grid-cell equi-join with reference-point dedup (each pair
+    evaluated exactly once, no distinct pass) — the 1-D distributed
+    spatial-join shape that survives 100 TB."""
+    from kafka_stream_sorter_spark.operators.interval_join import interval_overlap_join
+
+    events = load_table(spark, sf_dir, "events")
+    width = F.expr("INTERVAL 45 MINUTES")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_start"),
+        (F.col("ts") + width).alias("v_end"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + width).alias("p_end"),
+    )
+    joined = interval_overlap_join(
+        views, purchases, keys=["user_id"],
+        left_start="v_start", left_end="v_end",
+        right_start="p_start", right_end="p_end",
+        bucket_seconds=3600,
+    )
+    return joined.select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.least(epoch_us("v_end"), epoch_us("p_end"))
+            - F.greatest(epoch_us("v_start"), epoch_us("p_start"))
+        ).alias("overlap_us"),
+    )

@@ -90,6 +90,7 @@ _PRIORITY: list[str] = [
     "join_fuzzy_levenshtein",  # new in r3
     "stream_topk",  # new in r3
     "agg_quantiles_approx",  # new in r3
+    "join_interval_overlap",  # new in r3
     # (b) failed/errored in r02, fixed this round (8)
     "udf_grouped_regression",
     "join_asof",

@@ -80,3 +80,39 @@ def test_plan_is_equijoin_not_nested_loop(spark, sf_dir):
         .toString()
     )
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_overlap_join_matches_naive(spark, sf_dir):
+    """interval_overlap_join (grid cells + reference-point dedup) equals the
+    naive overlap theta-join — including pairs spanning multiple shared
+    cells, which the reference point must emit exactly once."""
+    from kafka_stream_sorter_spark.operators.interval_join import interval_overlap_join
+
+    events = load_table(spark, sf_dir, "events")
+    width = F.expr("INTERVAL 45 MINUTES")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_start"), (F.col("ts") + width).alias("v_end"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_start"), (F.col("ts") + width).alias("p_end"),
+    )
+    got = interval_overlap_join(
+        views, purchases, keys=["user_id"],
+        left_start="v_start", left_end="v_end",
+        right_start="p_start", right_end="p_end",
+        bucket_seconds=600,  # deliberately SMALL cells: intervals span ~5 cells
+    ).select("view_id", "purchase_id")
+    naive = (
+        views.alias("v").join(
+            purchases.alias("p"),
+            (F.col("v.user_id") == F.col("p.user_id"))
+            & (F.col("v.v_start") <= F.col("p.p_end"))
+            & (F.col("p.p_start") <= F.col("v.v_end")),
+        ).select("view_id", "purchase_id")
+    )
+    got_rows = [tuple(r) for r in got.collect()]
+    want = {tuple(r) for r in naive.collect()}
+    assert len(got_rows) == len(set(got_rows)), "reference point emitted a pair twice"
+    assert set(got_rows) == want and len(want) > 0
