@@ -106,7 +106,7 @@ def cmd_sort(args) -> None:
 
         records = records_from_topic(read_topic(spark, *src_kafka))
     elif args.format == "csv":
-        records = parse_csv_lines(spark.read.text(args.infile).withColumnRenamed("value", "value"))
+        records = parse_csv_lines(spark.read.text(args.infile))
     else:
         records = spark.read.parquet(args.infile)
 
