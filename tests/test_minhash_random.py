@@ -70,3 +70,38 @@ def test_minhash_and_bands_match_python_replica(spark):
         want_bands = _py_bands(want_sig)
         got_bands = [rows[i][f"band{b}"] for b in range(LSH_BANDS)]
         assert got_bands == want_bands, f"doc {i}: band drift"
+
+
+def test_simhash_matches_python_replica(spark):
+    """SimHash (explode×bits → two-level agg) vs a bit-for-bit Python
+    replica over random docs: pins the mask family and the sign-sum
+    semantics against drift."""
+    import random
+
+    from kafka_stream_sorter_spark.operators.dedup import simhash
+
+    rng = random.Random(29)
+    vocab = [f"tok{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 20)))
+        for _ in range(30)
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = {r.doc_id: r.simhash for r in simhash(df).collect()}
+
+    def py_simhash(text: str, bits: int = 16) -> int:
+        toks = sorted(set(text.strip().lower().split()))
+        hs = [_py_char_hash(t) for t in toks]
+        out = 0
+        for b in range(bits):
+            mask = 1 << b
+            sv = sum(1 if (h & mask) else -1 for h in hs)
+            if sv >= 0:
+                out |= mask
+        return out
+
+    for i, t in enumerate(texts):
+        assert got[i] == py_simhash(t), f"doc {i}: simhash drift"

@@ -205,3 +205,12 @@ def test_csv_roundtrip_read_prunes_to_declared_schema(spark, sf_dir):
     # format), but the plan must still partial-aggregate before shuffling
     plan = assert_plan_contains(QUERIES["csv_file_roundtrip"](spark, sf_dir), "HashAggregate")
     assert plan.count("HashAggregate") >= 2
+
+
+def test_overlap_join_is_hash_join_with_two_explodes(spark, sf_dir):
+    # grid-cell replication must plan as a hash/sort-merge equi-join on
+    # (user_id, cell) with one explode per side — never a nested loop
+    plan = assert_plan_lacks(
+        QUERIES["join_interval_overlap"](spark, sf_dir), "BroadcastNestedLoopJoin"
+    )
+    assert "Join" in plan and plan.count("Generate") >= 2
