@@ -51,24 +51,19 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, rel_tol: flo
     for c in a.columns:
         av, bv = a[c], b[c]
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
-            bad = 0
-            for x, y in zip(av.tolist(), bv.tolist()):
-                fx = float("nan") if x is None else float(x)
-                fy = float("nan") if y is None else float(y)
-                if math.isnan(fx) and math.isnan(fy):
-                    continue
-                if fx != fy and not math.isclose(fx, fy, rel_tol=rel_tol, abs_tol=1e-12):
-                    bad += 1
+            # vectorized: the row-at-a-time loop cost 37 s on a 1.8M-row
+            # column (None → NaN via astype, matching the old float(x) path)
+            import numpy as np
+
+            fa = av.astype("float64").to_numpy()
+            fb = bv.astype("float64").to_numpy()
+            not_both_nan = ~(np.isnan(fa) & np.isnan(fb))
+            neq = fa != fb
+            close = np.isclose(fa, fb, rtol=rel_tol, atol=1e-12, equal_nan=False)
+            bad = int((not_both_nan & neq & ~close).sum())
             if bad:
                 problems.append(f"column {c}: {bad} float mismatches beyond tol")
-            def _f(v):
-                return float("nan") if v is None else float(v)
-
-            exact_bad = sum(
-                1
-                for x, y in zip(av.tolist(), bv.tolist())
-                if not (math.isnan(_f(x)) and math.isnan(_f(y))) and _f(x) != _f(y)
-            )
+            exact_bad = int((not_both_nan & neq).sum())
             if exact_bad and not bad:
                 problems.append(f"column {c}: {exact_bad} values differ in exact bits (round on both sides!)")
         else:
