@@ -110,3 +110,44 @@ def test_watermark_drops_late_data_across_batches(spark, tmp_path):
     # window, 16 in its own) stay in state or emit, but never the late 8.0
     assert 8 not in got, f"late row leaked into a closed window: {got}"
     assert sum(got.values()) <= 23.0 and 8.0 not in got.values(), got
+
+
+def test_batch_and_stream_sessionization_agree(spark, sf_dir):
+    """Cross-paradigm consistency: gap-based batch sessionization (lag +
+    running sum) and Structured Streaming's session_window must produce
+    the SAME session partition of events for the same 1-hour gap — the
+    (user, n_events-per-session) multisets match exactly."""
+    from collections import Counter
+
+    from pyspark.sql import Window
+
+    from kafka_stream_sorter_spark.queries.streaming import stream_session_window
+    from kafka_stream_sorter_spark.sources.parquet import load_table
+
+    stream_rows = stream_session_window(spark, sf_dir).select("user_id", "n_events")
+    got = Counter((r.user_id, r.n_events) for r in stream_rows.collect())
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 3_600_000_000
+    from kafka_stream_sorter_spark.functions.numeric import epoch_us
+
+    flagged = ev.select(
+        "user_id",
+        F.when(
+            (epoch_us("ts") - epoch_us(F.lag("ts").over(w))).isNull()
+            | ((epoch_us("ts") - epoch_us(F.lag("ts").over(w))) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+        "ts",
+        "event_id",
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    batch_rows = sess.groupBy("user_id", "sid").agg(F.count(F.lit(1)).alias("n_events"))
+    want = Counter((r.user_id, r.n_events) for r in batch_rows.collect())
+    assert got == want
