@@ -122,7 +122,16 @@ def _prefix_filtered_jaccard_body(g: DataFrame, threshold: float) -> DataFrame:
     )
     df_counts = ex.groupBy("item").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("item").asc())
-    prefix_len = (F.col("n_items") - F.ceil(F.col("n_items") * threshold) + 1).cast("int")
+    # ε inside every ceil/bound below: t·n etc. are exact rationals but are
+    # computed in float64, which can land one ulp ABOVE the exact value
+    # (e.g. 19·0.9/1.9 = 9.000000000000002 → ceil 10, exact 9), turning a
+    # lossless prune into a false negative for pairs exactly at the
+    # threshold. Slackening by 1e-9 prunes marginally less — always safe,
+    # since exact array-intersect verification follows. (ADVICE r3.)
+    _EPS = 1e-9
+    prefix_len = (
+        F.col("n_items") - F.ceil(F.col("n_items") * threshold - _EPS) + 1
+    ).cast("int")
     prefix = (
         ex.join(df_counts, "item")
         .withColumn("_rn", F.row_number().over(w))
@@ -140,6 +149,7 @@ def _prefix_filtered_jaccard_body(g: DataFrame, threshold: float) -> DataFrame:
     # small relative to the corpus (measured at sf0.1: 311k → 142k).
     alpha = F.ceil(
         (F.col("pa.n_items") + F.col("pb.n_items")) * threshold / (1.0 + threshold)
+        - _EPS
     )
     positional = (
         F.least(
@@ -162,6 +172,7 @@ def _prefix_filtered_jaccard_body(g: DataFrame, threshold: float) -> DataFrame:
             & (
                 F.least(F.col("pa.n_items"), F.col("pb.n_items"))
                 >= F.greatest(F.col("pa.n_items"), F.col("pb.n_items")) * threshold
+                - _EPS
             )
             & positional,
         )

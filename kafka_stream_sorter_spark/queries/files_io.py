@@ -53,12 +53,18 @@ def _roundtrip_agg(df: DataFrame) -> DataFrame:
     )
 
 
-def _roundtrip_dir(fmt: str, sf_dir: str) -> str:
-    """Deterministic scratch path per (format, sf_dir), overwritten on each
-    invocation — repeated bench/verify runs reuse one directory instead of
-    leaking a fresh mkdtemp per call (the write uses mode=overwrite)."""
+def _roundtrip_dir(spark: SparkSession, fmt: str, sf_dir: str) -> str:
+    """Deterministic scratch path per (session, format, sf_dir),
+    overwritten on each invocation — repeated bench/verify runs within one
+    session reuse one directory instead of leaking a fresh mkdtemp per
+    call (the write uses mode=overwrite). The Spark application id in the
+    path keeps CONCURRENT sessions from clobbering each other's round-trip
+    mid-read (ADVICE r3)."""
     tag = sf_dir.strip("/").replace("/", "_")
-    return os.path.join(tempfile.gettempdir(), f"kss_{fmt}_roundtrip_{tag}")
+    app_id = spark.sparkContext.applicationId
+    return os.path.join(
+        tempfile.gettempdir(), f"kss_{app_id}_{fmt}_roundtrip_{tag}"
+    )
 
 
 @query("csv_file_roundtrip", oracle=_ROUNDTRIP_ORACLE)
@@ -66,7 +72,7 @@ def csv_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → RFC-4180 CSV files → declared-schema read → aggregate.
     Matches the parquet-side oracle iff the CSV codec round-trips every
     column (quoted multiline strings, µs timestamps) losslessly."""
-    out = _roundtrip_dir("csv", sf_dir)
+    out = _roundtrip_dir(spark, "csv", sf_dir)
     files.write_table_csv(load_table(spark, sf_dir, "events"), out)
     return _roundtrip_agg(files.read_table_csv(spark, out, "events"))
 
@@ -75,6 +81,6 @@ def csv_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def jsonl_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → JSON-lines files → declared-schema read → aggregate.
     Same contract as csv_file_roundtrip over the JSON codec."""
-    out = _roundtrip_dir("jsonl", sf_dir)
+    out = _roundtrip_dir(spark, "jsonl", sf_dir)
     files.write_table_jsonl(load_table(spark, sf_dir, "events"), out)
     return _roundtrip_agg(files.read_table_jsonl(spark, out, "events"))

@@ -641,21 +641,23 @@ def multimodal_byte_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_resize",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
-           16::BIGINT AS thumb_w,
-           16::BIGINT AS thumb_h,
-           CAST(least(length(text), 768) AS BIGINT) AS thumb_bytes,
-           CAST(coalesce(list_aggregate(
-               list_transform(string_split(substr(text, 1, 768), ''),
-                              c -> ascii(c)::BIGINT), 'sum'), 0) AS BIGINT) AS thumb_checksum
+           4::BIGINT AS thumb_w,
+           4::BIGINT AS thumb_h,
+           48::BIGINT AS thumb_bytes,
+           CAST(12 * list_sum(list_transform(generate_series(0, 3),
+                yo -> (doc_id + (yo * {multimodal.SQL_IMG_H}) // 4) % 256))
+             AS BIGINT) AS thumb_checksum
     FROM documents
     """,
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize step (byte-slice thumbnail stub; pixel resampling needs a
-    codec) — operators/multimodal.py:resize_thumbnail. Length + checksum of
-    the 16x16x3 slice pin the Arrow plumbing."""
+    """REAL pixel resampling: PNG decode → nearest-neighbor 4×4 thumbnail
+    → pixel checksum (operators/multimodal.py:resize_thumbnail). The
+    oracle replays the image rule + the same floor(yo·h/4) row mapping;
+    all pixels in a source row share one value, so the 4×4×3 checksum is
+    12·Σ_rows — any off-by-one in decode or sampling mismatches."""
     return multimodal.resize_thumbnail(load_table(spark, sf_dir, "documents", rebalance=True))
 
 
@@ -666,20 +668,26 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_meta",
-    oracle="""
-    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents)
-    SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
-           CAST(16 + n_bytes % 624 AS BIGINT)       AS width,
-           CAST(16 + (n_bytes * 7) % 464 AS BIGINT) AS height,
-           CAST(1 + n_bytes % 3 AS BIGINT)          AS channels,
-           CAST(1 + n_bytes // 1024 AS BIGINT)      AS n_frames
-    FROM b
+    oracle=f"""
+    SELECT doc_id,
+           CAST({multimodal.SQL_IMG_W} AS BIGINT) AS width,
+           CAST({multimodal.SQL_IMG_H} AS BIGINT) AS height,
+           3::BIGINT AS channels,
+           8::BIGINT AS bit_depth,
+           CAST(3 * {multimodal.SQL_IMG_W} *
+                list_sum(list_transform(generate_series(0, {multimodal.SQL_IMG_H} - 1),
+                         y -> (doc_id + y) % 256))
+             AS BIGINT) AS pixel_sum
+    FROM documents
     """,
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column decode via Arrow mapInPandas (stubbed codec — see
-    operators/multimodal.py; the oracle replicates the stub arithmetic
-    from the byte length, proving the Spark-side plumbing end-to-end)."""
+    """REAL binary-column decode via Arrow mapInPandas: per-document PNGs
+    (pure-stdlib codec, operators/multimodal.py:png_codec) are parsed —
+    signature, chunk CRCs, scanline unfiltering — back to dimensions and
+    a full pixel sum. The oracle predicts every column from the image
+    rule alone (SQL_IMG_W/H, per-row value (doc_id+y)%256), so a codec
+    bug cannot hash-match."""
     return multimodal.decode_metadata(load_table(spark, sf_dir, "documents", rebalance=True))
 
 
@@ -815,13 +823,23 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_dedup_groups(docs.select("doc_id"), edges)
 
 
+# Fixed x-axis origin for the regression queries: 2024-01-01T00:00:00Z in
+# µs. Slope is shift-invariant and the intercept is DEFINED at this origin
+# identically on both sides, so the contract is unchanged — but x drops
+# from ~1.7e9 s (raw epoch, wasting ~31 mantissa bits on a constant
+# offset) to ≤ a few 1e6 s, pulling round(.., 4) results far from ulp
+# boundaries where Spark's vs DuckDB's single-pass co-moment merge order
+# could disagree (the one driver hash-flake of rounds 1-3).
+REGR_X_ORIGIN_US = 1_704_067_200_000_000
+
+
 @query(
     "udf_grouped_regression",
-    oracle="""
+    oracle=f"""
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n,
-           round(regr_slope(value, epoch_us(ts) / 1000000.0), 4) AS slope,
-           round(regr_intercept(value, epoch_us(ts) / 1000000.0), 4) AS intercept
+           round(regr_slope(value, (epoch_us(ts) - {REGR_X_ORIGIN_US}) / 1000000.0), 4) AS slope,
+           round(regr_intercept(value, (epoch_us(ts) - {REGR_X_ORIGIN_US}) / 1000000.0), 4) AS intercept
     FROM events
     GROUP BY user_id
     """,
@@ -834,9 +852,11 @@ def udf_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped-map applyInPandas version of this query cost a per-group
     Python/Arrow round-trip for arithmetic a built-in already does (it
     survives as ``udf_grouped_regression_pandas`` below, registered as the
-    grouped-map extension-point demo, not the production path)."""
+    grouped-map extension-point demo, not the production path). The x
+    axis is seconds since ``REGR_X_ORIGIN_US`` (not raw epoch) on BOTH
+    sides — see the constant's comment for the float-determinism why."""
     e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
-    x = epoch_us("ts") / F.lit(1_000_000.0)
+    x = (epoch_us("ts") - F.lit(REGR_X_ORIGIN_US)) / F.lit(1_000_000.0)
     return e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.regr_slope(F.col("value"), x), 4).alias("slope"),
@@ -846,11 +866,11 @@ def udf_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "udf_grouped_regression_pandas",
-    oracle="""
+    oracle=f"""
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n,
-           round(regr_slope(value, epoch_us(ts) / 1000000.0), 4) AS slope,
-           round(regr_intercept(value, epoch_us(ts) / 1000000.0), 4) AS intercept
+           round(regr_slope(value, (epoch_us(ts) - {REGR_X_ORIGIN_US}) / 1000000.0), 4) AS slope,
+           round(regr_intercept(value, (epoch_us(ts) - {REGR_X_ORIGIN_US}) / 1000000.0), 4) AS intercept
     FROM events
     GROUP BY user_id
     """,
@@ -862,12 +882,14 @@ def udf_grouped_regression_pandas(spark: SparkSession, sf_dir: str) -> DataFrame
     equations in float64. The x axis (epoch seconds) is computed JVM-side
     *before* the hand-off so the Python side never touches timestamp
     units (pandas may surface Spark's µs timestamps as datetime64[ns] or
-    [us] depending on version — int64 µs in, float64 out is unambiguous)."""
+    [us] depending on version — int64 µs in, float64 out is unambiguous).
+    x is seconds since ``REGR_X_ORIGIN_US``, matching the JVM twin and
+    the oracle (float-determinism — see the constant's comment)."""
     import numpy as np
     import pandas as pd
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf["x_us"].to_numpy(dtype=np.float64) / 1e6  # µs → s
+        x = pdf["x_us"].to_numpy(dtype=np.float64) / 1e6  # shifted µs → s
         y = pdf["value"].to_numpy(dtype=np.float64)
         n = len(y)
         mx, my = x.mean(), y.mean()
@@ -885,7 +907,9 @@ def udf_grouped_regression_pandas(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
     e = load_table(spark, sf_dir, "events").select(
-        "user_id", epoch_us("ts").alias("x_us"), "value"
+        "user_id",
+        (epoch_us("ts") - F.lit(REGR_X_ORIGIN_US)).alias("x_us"),
+        "value",
     )
     return e.groupBy("user_id").applyInPandas(
         fit, "user_id long, n long, slope double, intercept double"

@@ -310,4 +310,6 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query; exact because the global top-k is a subset of the union of
     per-batch top-ks."""
     sdf = ops.stream_events(spark, sf_dir).select("event_id", "user_id", "value")
-    return ops.drain_topk(sdf, 100, [F.col("value").desc(), F.col("event_id").asc()])
+    return ops.drain_topk(
+        sdf, 100, [F.col("value").desc(), F.col("event_id").asc()], id_cols=["event_id"]
+    )

@@ -55,79 +55,41 @@ from kafka_stream_sorter_spark.queries import (  # noqa: E402,F401
 # Registration-order priority.
 #
 # External harnesses iterate ``queries()`` in insertion order and check only
-# a prefix of it (rounds 1-2 each checked the first 50). Round-3 goal: a
-# driver correctness row for every registered query across r01-r03. Order:
-# (a) the 17 queries that have never had a driver row (fell past both
-# prior prefixes), (b) the 8 that FAILED/errored in r02 — all fixed by the
-# shared timestamp normalizer (sources/parquet.normalize_timestamps) — so
-# the fix gets attested, (c) timestamp-touching queries last attested in
-# r01, since the normalizer now rewrites NTZ columns in every table and
-# their green rows predate it. Queries with a green r02 row sort to the
-# back — re-checking them adds nothing a prefix walk would miss.
+# a prefix of it (every round so far: the first 50). Round-4 rotation, by
+# attestation age and code churn (r3 verdict, next-round item 2):
+# (a) the one never-green query — udf_grouped_regression, whose float-
+# determinism fix (REGR_X_ORIGIN_US shift) lands this round — plus its
+# pandas twin, which shares the changed x-axis; (b) every query whose only
+# driver green predates the r2 timestamp-normalizer rewrite (r1-only
+# attestations, 27 incl. the two multimodal queries whose decode became a
+# real PNG codec this round); (c) r3-green queries whose CODE changed this
+# round (stream_topk read-side dedup, file round-trips' per-session scratch
+# path); (d) fill to 50 with the oldest remaining greens (r2-only), in
+# registry order. r2-only queries that don't fit (csv_wire_roundtrip, the
+# stream_* state ops, 19 TPC-H shapes) are pre-staged right after the
+# marker for the r5 rotation — after r5, nothing is older than two rounds.
 _PRIORITY: list[str] = [
-    # (a) never driver-checked (17)
-    "window_sessionize",
-    "window_range_frame",
-    "window_distribution",
-    "topk_paged",
-    "agg_histogram",
-    "agg_salted_skew",
-    "scalar_string",
-    "scalar_date",
-    "scalar_math",
-    "scalar_json",
-    "scalar_array_struct",
-    "udf_scalar_pandas",
-    "udtf_tokenize",
-    "unpivot_melt",
-    "sql_interface",
-    "ann_ivf_kmeans",
-    "udf_grouped_regression_pandas",
-    "ann_lsh_multiprobe",  # new in r3 — must land in the checked prefix
-    "csv_file_roundtrip",  # new in r3
-    "jsonl_file_roundtrip",  # new in r3
-    "agg_time_bucket",  # new in r3
-    "join_fuzzy_levenshtein",  # new in r3
-    "stream_topk",  # new in r3
-    "agg_quantiles_approx",  # new in r3
-    "join_interval_overlap",  # new in r3
-    # (b) failed/errored in r02, fixed this round (8)
+    # (a) regression pair — the never-green query and its changed twin
     "udf_grouped_regression",
-    "join_asof",
-    "join_interval_bucketed",
-    "stream_window_tumbling",
-    "stream_window_sliding",
-    "stream_session_window",
-    "stream_stream_interval_join",
-    "stream_sorted_drain",
-    # (c) r01-only attestations, timestamp-adjacent first (25)
-    "filter_project",
-    "agg_tpch_q1",
-    "tpch_q6",
-    "tpch_q3_topk",
-    "join_broadcast",
-    "join_sortmerge",
-    "join_multiway",
-    "join_semi",
-    "join_anti",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_stats",
-    "agg_pivot",
-    "set_union",
-    "set_intersect",
-    "dedup_exact_hash",
+    "udf_grouped_regression_pandas",
+    # (b) r1-only attestations (27) — multimodal first (code changed r4)
+    "multimodal_meta",
+    "multimodal_resize",
+    "multimodal_byte_hist",
+    "multimodal_frames",
     "dedup_jaccard",
+    "dedup_ngram_jaccard",
     "dedup_minhash_sig",
     "dedup_minhash_lsh",
     "dedup_minhash_groups",
     "dedup_simhash",
     "dedup_connected_groups",
+    "dedup_embedding",
     "ann_bruteforce",
     "ann_vectorized",
-    # --- first 50 ends here ---
-    # remaining r01-only attestations
+    "ann_ivf_blocked",
+    "ann_lsh_hyperplane",
+    "ann_knn_join",
     "text_tokens",
     "text_quality",
     "text_langid",
@@ -137,16 +99,56 @@ _PRIORITY: list[str] = [
     "text_pii_scrub",
     "text_chunk_windows",
     "doc_fingerprint",
-    "dedup_ngram_jaccard",
-    "dedup_embedding",
-    "ann_ivf_blocked",
-    "ann_lsh_hyperplane",
-    "ann_knn_join",
-    "multimodal_byte_hist",
-    "multimodal_resize",
-    "multimodal_meta",
-    "multimodal_frames",
     "pipeline_quality_dedup_split",
+    # (c) r3-green but code changed in r4
+    "stream_topk",  # at-least-once candidate dedup (ADVICE r3)
+    "csv_file_roundtrip",  # per-session scratch dir (ADVICE r3)
+    "jsonl_file_roundtrip",  # per-session scratch dir (ADVICE r3)
+    # (d) oldest remaining greens (r2-only), registry order (18)
+    "dedup_exact",
+    "sample_hash_split",
+    "sample_stratified",
+    "window_rank",
+    "window_analytic",
+    "set_except",
+    "agg_quantiles",
+    "agg_approx_distinct",
+    "agg_grouping_sets",
+    "join_left_outer",
+    "join_full_outer",
+    "join_null_safe",
+    "sort_numeric",
+    "sort_lexicographic",
+    "sort_low_cardinality",
+    "keyed_fanout",
+    "topk",
+    "sort_multikey_nulls",
+    # --- first 50 ends here (driver prefix boundary) ---
+    # r2-only greens that didn't fit — the head of the r5 rotation
+    "csv_wire_roundtrip",
+    "stream_dedup_keys",
+    "stream_stateful_user_stats",
+    "stream_static_join",
+    "stream_cdc_upsert",
+    "tpch_q2_min_price",
+    "tpch_q4_exists",
+    "tpch_q5_region",
+    "tpch_q7_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_profit",
+    "tpch_q10_returns",
+    "tpch_q11_value_parts",
+    "tpch_q12_late_priority",
+    "tpch_q13_custdist",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q20_excess_share",
+    "tpch_q21_waiting",
+    "tpch_q22_idle_balance",
 ]
 
 

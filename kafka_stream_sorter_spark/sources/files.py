@@ -15,10 +15,15 @@ table round-tripped through CSV/JSONL is column-for-column comparable with
 its parquet original. Timestamps are serialized as ISO-8601 micros under
 the UTC session timezone — lossless for the fixtures' µs precision.
 
-Scale posture: both formats split by line boundaries, so a 100 TB text
-dataset parallelizes per ``maxPartitionBytes`` chunk like parquet does —
-minus columnar pruning/pushdown, which is why parquet stays the engine's
-primary storage and this surface exists for interchange.
+Scale posture: JSONL splits by line boundaries, so a 100 TB JSONL dataset
+parallelizes per ``maxPartitionBytes`` chunk like parquet does. The CSV
+path does NOT: fixture text columns embed newlines, which forces
+``multiLine=true``, and multiline CSV is unsplittable — each FILE is one
+task. Parallelism for big CSV therefore comes from file count (the writer
+emits one file per partition, so round-trips keep their fan-out), not
+from intra-file splits. Both lack columnar pruning/pushdown, which is why
+parquet stays the engine's primary storage and this surface exists for
+interchange.
 """
 
 from __future__ import annotations

@@ -145,7 +145,9 @@ def drain_sorted(sdf: DataFrame, keys: list[str]) -> DataFrame:
     return sdf.sparkSession.read.parquet(out).orderBy(*keys)
 
 
-def drain_topk(sdf: DataFrame, k: int, order_cols: list) -> DataFrame:
+def drain_topk(
+    sdf: DataFrame, k: int, order_cols: list, id_cols: list[str] | None = None
+) -> DataFrame:
     """Bounded-state streaming top-k: each micro-batch contributes its local
     top-k (TakeOrderedAndProject — only partitions×k rows move per batch) to
     an append-only candidate store; the read side re-ranks the candidates
@@ -154,7 +156,15 @@ def drain_topk(sdf: DataFrame, k: int, order_cols: list) -> DataFrame:
     never proportional to the stream. The streaming twin of the batch
     ``topk`` query (≙ the reference's validator prefix, test_validation.sh);
     at 100 TB the candidate store is a compacted topic/table the next batch
-    folds into."""
+    folds into.
+
+    foreachBatch is at-least-once: a retried batch appends its candidates
+    twice, and a duplicated row could occupy two of the k slots and
+    displace a legitimate one. The read side therefore deduplicates on
+    ``id_cols`` (row identity, e.g. the event key) — cheap, since the
+    candidate store is only O(k × n_batches) rows. Pass ``id_cols=None``
+    only when the stream itself can never contain two rows with equal
+    identity (then whole-row dedup is used)."""
     out = tempfile.mkdtemp(prefix="stream_topk_")
 
     def emit(batch_df: DataFrame, _batch_id: int) -> None:
@@ -168,7 +178,11 @@ def drain_topk(sdf: DataFrame, k: int, order_cols: list) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return sdf.sparkSession.read.parquet(out).orderBy(*order_cols).limit(k)
+    candidates = sdf.sparkSession.read.parquet(out)
+    candidates = (
+        candidates.dropDuplicates(id_cols) if id_cols else candidates.distinct()
+    )
+    return candidates.orderBy(*order_cols).limit(k)
 
 
 def user_running_stats(sdf: DataFrame) -> DataFrame:

@@ -15,7 +15,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def count_violations(df: DataFrame, *keys: str, ascending: bool = True) -> int:
+def count_violations(
+    df: DataFrame, *keys: str, ascending: bool = True, allow_run_merge: bool = True
+) -> int:
     """Number of adjacent pairs out of order under ORDER BY keys.
 
     Full-table generalization of ``validate_id_sort`` /
@@ -26,6 +28,18 @@ def count_violations(df: DataFrame, *keys: str, ascending: bool = True) -> int:
     are compared on the driver, num_partitions values, never rows. No
     single-partition window anywhere. Assumes non-null sort keys (true of
     every fixture and of the reference's data model).
+
+    ``allow_run_merge`` picks the contract for the boundary check:
+
+    * ``True`` (default): "sorted" = internally-sorted, pairwise range-
+      disjoint runs — what a file-backed dataset can promise, since a
+      parquet RE-READ of range-disjoint sorted files bin-packs splits by
+      size and emits partitions in arbitrary order; a file-level merge
+      recovers total order. Boundary pairs are compared in range order.
+    * ``False``: strict — the PRODUCED partition order itself must be
+      ascending, as a freshly sorted in-memory frame guarantees (range
+      exchange emits partitions in key order). Use for in-memory results
+      where scrambled-but-disjoint runs would be a real bug.
     """
     # Capture the order the DataFrame actually produces: mono ids are
     # (partition_id << 33) + in-partition offset, and a range-partitioned
@@ -53,17 +67,17 @@ def count_violations(df: DataFrame, *keys: str, ascending: bool = True) -> int:
         )
     finally:
         keyed.unpersist()
-    # Boundary pairs are compared in RANGE order (sorted by each run's first
-    # key), not read-partition order: a freshly sorted in-memory frame emits
-    # partitions in key order so the two coincide, but a parquet RE-READ of
-    # range-disjoint sorted files bin-packs splits by size (FileSourceScan
-    # orders splits length-descending), so _pid order is arbitrary there.
-    # Sorting bounds by first key keeps the check exact in both cases: runs
-    # that overlap still collide with their range-order neighbor, and
-    # within-run inversions are already counted above. "Sorted" for a file-
-    # backed dataset = internally-sorted, pairwise-disjoint runs — exactly
-    # what a reader needs to recover total order with a file-level merge.
-    bounds = sorted(bounds, key=lambda r: tuple(r["first_k"]), reverse=not ascending)
+    # allow_run_merge=True: boundary pairs compared in RANGE order (sorted
+    # by each run's first key) — runs that overlap still collide with their
+    # range-order neighbor, and within-run inversions are already counted
+    # above. False: compared in produced (_pid) order, so disjoint sorted
+    # runs emitted in scrambled partition order count as violations.
+    if allow_run_merge:
+        bounds = sorted(
+            bounds, key=lambda r: tuple(r["first_k"]), reverse=not ascending
+        )
+    else:
+        bounds = sorted(bounds, key=lambda r: r["_pid"])
     cross = 0
     for left, right in zip(bounds, bounds[1:]):
         lo, hi = tuple(left["last_k"]), tuple(right["first_k"])
@@ -72,8 +86,14 @@ def count_violations(df: DataFrame, *keys: str, ascending: bool = True) -> int:
     return within + cross
 
 
-def assert_sorted(df: DataFrame, *keys: str, ascending: bool = True) -> None:
-    n = count_violations(df, *keys, ascending=ascending)
+def assert_sorted(
+    df: DataFrame, *keys: str, ascending: bool = True, allow_run_merge: bool = True
+) -> None:
+    """Raise unless ``df`` is sorted — by default under the run-merge
+    contract (internally-sorted, range-disjoint runs; see
+    :func:`count_violations`). Pass ``allow_run_merge=False`` to demand the
+    produced row order itself be globally ascending."""
+    n = count_violations(df, *keys, ascending=ascending, allow_run_merge=allow_run_merge)
     if n:
         raise AssertionError(f"ordering violated for keys {keys}: {n} adjacent inversions")
 

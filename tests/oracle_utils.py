@@ -59,7 +59,14 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, rel_tol: flo
             fb = bv.astype("float64").to_numpy()
             not_both_nan = ~(np.isnan(fa) & np.isnan(fb))
             neq = fa != fb
-            close = np.isclose(fa, fb, rtol=rel_tol, atol=1e-12, equal_nan=False)
+            # symmetric tolerance (|a-b| <= rtol*max(|a|,|b|)), matching the
+            # pre-vectorization math.isclose semantics — np.isclose alone is
+            # asymmetric (scales rtol by |b| only) and would be stricter
+            # whenever the Spark value's magnitude exceeds the oracle's
+            with np.errstate(invalid="ignore"):
+                close = np.abs(fa - fb) <= np.maximum(
+                    rel_tol * np.maximum(np.abs(fa), np.abs(fb)), 1e-12
+                )
             bad = int((not_both_nan & neq & ~close).sum())
             if bad:
                 problems.append(f"column {c}: {bad} float mismatches beyond tol")

@@ -74,3 +74,38 @@ def test_ngram_jaccard_matches_naive(spark):
         got = _got_pairs(ngram_jaccard_pairs(df, n=3, threshold=0.8))
         want = _expected_pairs(docs, 0.8, "ngram")
         assert got == want, f"seed {seed}: got-want={got-want} want-got={want-got}"
+
+
+def test_threshold_boundary_pair_not_pruned(spark):
+    """ADVICE r3 (medium): with t=0.9, float64 computes (|A|+|B|)*t/(1+t)
+    = 19*0.9/1.9 as 9.000000000000002, so an un-slackened ceil yields
+    α=10 and the positional filter pruned this true pair: |A|=9 ⊂ |B|=10,
+    J = 9/10 = 0.9 exactly at the threshold. The ε inside the ceil must
+    keep it."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_sorter_spark.operators.dedup import _prefix_filtered_jaccard
+
+    sets = spark.createDataFrame(
+        [
+            (1, "en", 0, list(range(1, 10))),   # |A| = 9
+            (2, "en", 0, list(range(1, 11))),   # |B| = 10, superset
+        ],
+        "doc_id long, lang string, len_bucket long, items array<long>",
+    )
+    rows = _prefix_filtered_jaccard(sets, threshold=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b, r.n_common, r.n_union) == (1, 2, 9, 10)
+    assert r.jaccard == 0.9
+
+
+def test_word_jaccard_matches_naive_at_exact_threshold(spark):
+    """Randomized sweep at t=0.9 (the registered dedup_ngram_jaccard
+    threshold, where S=na+nb multiples of 19 hit the float-ceil cliff)."""
+    for seed in (7, 19):
+        docs = _random_docs(seed)
+        df = spark.createDataFrame(docs, ["doc_id", "text", "lang", "source", "n_chars"])
+        got = _got_pairs(jaccard_pairs(df, threshold=0.9))
+        want = _expected_pairs(docs, 0.9, "word")
+        assert got == want, f"seed {seed}: got-want={got-want} want-got={want-got}"

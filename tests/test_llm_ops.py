@@ -95,15 +95,17 @@ def test_blocked_topk_stays_in_block(spark, sf_dir):
         assert r["neighbor_id"] != r["query_id"]
 
 
-def test_multimodal_decode_plumbing(spark, sf_dir):
+def test_multimodal_decode_real_png(spark, sf_dir):
+    """decode_metadata now round-trips REAL PNG bytes: dimensions and the
+    full pixel sum must match the deterministic image rule exactly."""
     docs = load_table(spark, sf_dir, "documents")
     out = multimodal.decode_metadata(docs)
     assert out.count() == docs.count()
-    r = out.filter(F.col("doc_id") == 0).collect()[0]
-    n = r["n_bytes"]
-    assert (r["width"], r["height"], r["channels"], r["n_frames"]) == (
-        16 + n % 624, 16 + (n * 7) % 464, 1 + n % 3, 1 + n // 1024,
-    )
+    dims, make_pixels = multimodal.image_rule()
+    for r in out.filter(F.col("doc_id") < 5).collect():
+        w, h = dims(r["doc_id"])
+        assert (r["width"], r["height"], r["channels"], r["bit_depth"]) == (w, h, 3, 8)
+        assert r["pixel_sum"] == int(make_pixels(r["doc_id"]).sum())
 
 
 def test_multimodal_frame_offsets(spark, sf_dir):
@@ -179,13 +181,20 @@ def test_byte_histogram_matches_numpy(spark, sf_dir):
         assert got[r["doc_id"]] == want
 
 
-def test_resize_thumbnail_slice_semantics(spark, sf_dir):
+def test_resize_thumbnail_real_resample(spark, sf_dir):
+    """4×4 nearest-neighbor thumbnail over decoded pixels: checksum must
+    equal the numpy resample of the rule-generated image."""
     docs = load_table(spark, sf_dir, "documents").limit(10)
     got = {r["doc_id"]: r for r in multimodal.resize_thumbnail(docs).collect()}
-    for r in docs.select("doc_id", "text").collect():
-        b = r["text"].encode()[:768]
-        g = got[r["doc_id"]]
-        assert (g["thumb_bytes"], g["thumb_checksum"]) == (len(b), sum(b))
+    _dims, make_pixels = multimodal.image_rule()
+    for doc_id, g in got.items():
+        px = make_pixels(doc_id)
+        h, w, _ = px.shape
+        ys = (np.arange(4) * h) // 4
+        xs = (np.arange(4) * w) // 4
+        thumb = px[np.ix_(ys, xs)]
+        assert (g["thumb_w"], g["thumb_h"], g["thumb_bytes"]) == (4, 4, 48)
+        assert g["thumb_checksum"] == int(thumb.sum())
 
 
 def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):

@@ -14,21 +14,21 @@ from kafka_stream_sorter_spark.validate import (
 def test_global_sort_numeric(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     out = sort_ops.global_sort(events, "event_id")
-    assert_sorted(out, "event_id")
+    assert_sorted(out, "event_id", allow_run_merge=False)
     assert_count_conserved(events, out)
 
 
 def test_global_sort_lexicographic(spark, sf_dir):
     customer = load_table(spark, sf_dir, "customer")
     out = sort_ops.global_sort(customer, "c_name")
-    assert_sorted(out, "c_name")
+    assert_sorted(out, "c_name", allow_run_merge=False)
     assert_count_conserved(customer, out)
 
 
 def test_sort_low_cardinality_with_tiebreak(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     out = sort_ops.sort_with_tiebreak(events, "event_type", "event_id")
-    assert_sorted(out, "event_type", "event_id")
+    assert_sorted(out, "event_type", "event_id", allow_run_merge=False)
 
 
 def test_violation_detector_catches_unsorted(spark, sf_dir):
@@ -52,8 +52,8 @@ def test_keyed_fanout_orders_each_output(spark, sf_dir):
         {"by_id": ["event_id"], "by_type": ["event_type", "event_id"]},
     )
     assert set(outs) == {"by_id", "by_type"}
-    assert_sorted(outs["by_id"], "event_id")
-    assert_sorted(outs["by_type"], "event_type", "event_id")
+    assert_sorted(outs["by_id"], "event_id", allow_run_merge=False)
+    assert_sorted(outs["by_type"], "event_type", "event_id", allow_run_merge=False)
 
 
 def test_with_global_position(spark, sf_dir):

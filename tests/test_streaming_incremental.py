@@ -182,7 +182,7 @@ def test_sorted_drain_across_batches_is_totally_ordered(spark, sf_dir, split_eve
         _stream(spark, split_events_dir).select("event_id", "value"),
         ["value", "event_id"],
     )
-    assert_sorted(got, "value", "event_id")
+    assert_sorted(got, "value", "event_id", allow_run_merge=False)
     assert_count_conserved(load_table(spark, sf_dir, "events"), got)
 
 
