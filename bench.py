@@ -94,20 +94,25 @@ def main() -> None:
         # alone puts each key's ties in ONE partition (≤6 of 32 tasks do all
         # the work — the skew every low-cardinality global sort hits at
         # scale). The tie-break makes ranges fine-grained; same spec as the
-        # engine's sort_low_cardinality (reference tie order is arbitrary).
+        # engine's sort_low_cardinality (reference tie order is arbitrary),
+        # and it runs through the engine's operator so the dictionary-
+        # encoded radix key (operators/sort.py:sort_with_tiebreak) is what
+        # gets measured — 1.7-1.8x over the raw two-column orderBy at 50M
+        # (scripts/probe_offheap_sort.py).
+        from kafka_stream_sorter_spark.operators.sort import sort_with_tiebreak
         # min-of-3 per sort: this box is a shared VM and single-shot sort
         # timings have shown 3x run-to-run swings from neighbor load with
         # identical code; the minimum is the standard noise-robust estimate
         # of what the machine can actually do.
-        for key, order in (
-            ("id", ["id"]),
-            ("name", ["name"]),
-            ("continent", ["continent", "id"]),
+        for key, plan_fn in (
+            ("id", lambda: src.orderBy("id")),
+            ("name", lambda: src.orderBy("name")),
+            ("continent", lambda: sort_with_tiebreak(src, "continent", "id")),
         ):
             runs = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                src.orderBy(*order).write.format("noop").mode("overwrite").save()
+                plan_fn().write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
             timings[f"ref_sort_{key}"] = round(min(runs), 3)
     except Exception as exc:  # noqa: BLE001 - still emit the per-query JSON

@@ -38,15 +38,81 @@ def global_sort(df: DataFrame, *keys: str, ascending: bool = True) -> DataFrame:
     return df.orderBy(*cols)
 
 
-def sort_with_tiebreak(df: DataFrame, key: str, tiebreak: str) -> DataFrame:
+#: Dictionary-encoded sort preconditions: rank occupies bits 48..62 of the
+#: composite long, so at most 2^15 distinct keys and tiebreaks in [0, 2^48).
+DICT_SORT_MAX_KEYS = 1 << 15
+DICT_SORT_TIEBREAK_BOUND = 1 << 48
+
+
+def sort_with_tiebreak(df: DataFrame, key: str, tiebreak: str, dict_encode: bool = True) -> DataFrame:
     """Low-cardinality-key sort with a deterministic tie-break.
 
     The reference's continent sort (6 distinct values over 50M rows) leaves
     ties in arbitrary order (``sort.Slice`` is unstable, external_sort.go:137-148;
     heap pop order among equal keys is arbitrary). For oracle-checkable
     determinism we append a unique tie-break column — a semantics superset.
+
+    Physical strategy — dictionary-encoded radix key: Tungsten's sort keys
+    on an 8-byte prefix of the LEADING column, so a 6-value string key
+    gives 6 distinct prefixes and nearly every comparison falls through to
+    a full row compare. Composing (rank(key) << 48) | tiebreak into ONE
+    long restores a collision-free radix prefix — the reference's own key
+    precompute (external_sort.go:24-28) taken to its Spark-shaped
+    conclusion. Measured at the reference's 50M scale: 1.7-1.8x faster
+    than the two-column sort (scripts/probe_offheap_sort.py; off-heap
+    memory, the other hypothesis for the continent-sort gap, measured
+    WORSE than baseline).
+
+    The dictionary comes from ONE cheap pre-job — ``groupBy(key)`` with
+    tiebreak min/max/null-count partials, scanning just the two sort
+    columns (parquet prunes the rest). At declared-low cardinality the
+    map-side combine collapses each partition to ≤n_keys rows, so the
+    shuffle is a few KB; a mis-declared HIGH-cardinality key costs one
+    wasted key-column dedup but the ``limit`` keeps the driver fetch
+    bounded — nothing unbounded ever reaches the driver. Any
+    precondition miss (too many keys, negative / non-integral / null /
+    >=2^48 tiebreaks) falls back to the plain two-column ``orderBy``, so
+    semantics never depend on the fast path.
     """
-    return df.orderBy(F.col(key).asc(), F.col(tiebreak).asc())
+    plain = df.orderBy(F.col(key).asc(), F.col(tiebreak).asc())
+    if not dict_encode:
+        return plain
+    groups = (
+        df.groupBy(key)
+        .agg(
+            F.min(tiebreak).alias("lo"),
+            F.max(tiebreak).alias("hi"),
+            F.sum(F.col(tiebreak).isNull().cast("long")).alias("tb_nulls"),
+        )
+        .limit(DICT_SORT_MAX_KEYS + 1)
+        .collect()
+    )
+    keys = [r[0] for r in groups if r[0] is not None]
+    los = [r["lo"] for r in groups if r["lo"] is not None]
+    his = [r["hi"] for r in groups if r["hi"] is not None]
+    if (
+        not keys
+        or len(groups) > DICT_SORT_MAX_KEYS
+        or any((r["tb_nulls"] or 0) > 0 for r in groups)
+        or not los
+        or not all(isinstance(v, int) and not isinstance(v, bool) for v in los)
+        or min(los) < 0
+        or max(his) >= DICT_SORT_TIEBREAK_BOUND
+    ):
+        return plain
+    rank = F.create_map(
+        *[F.lit(x) for i, k in enumerate(sorted(keys)) for x in (k, i)]
+    )[F.col(key)].cast("long")
+    tb = F.col(tiebreak).cast("long")
+    # NULL keys sort first under asc-nulls-first; give them negative
+    # composites (rank -1) so the fast path agrees exactly.
+    composite = F.when(
+        F.col(key).isNull(), tb - F.lit(DICT_SORT_TIEBREAK_BOUND)
+    ).otherwise(rank * F.lit(DICT_SORT_TIEBREAK_BOUND) + tb)
+    radix_col = "_radix_key"
+    while radix_col in df.columns:
+        radix_col += "_"
+    return df.withColumn(radix_col, composite).orderBy(radix_col).drop(radix_col)
 
 
 def topk(df: DataFrame, k: int, *keys: str, ascending: bool = False) -> DataFrame:

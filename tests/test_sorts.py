@@ -85,3 +85,74 @@ def test_validate_sorted_parquet_reread(spark, tmp_path):
     bad = str(tmp_path / "unsorted")
     df.write.parquet(bad)  # hash-ish natural order, not sorted
     assert count_violations(spark.read.parquet(bad), "k", "id") > 0
+
+
+# --- dictionary-encoded radix sort (round 4; probe_offheap_sort.py) -----
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_dict_encoded_sort_matches_plain_exactly(spark, sf_dir):
+    """The fast path must reproduce the plain two-column orderBy row
+    order bit-exactly (same rows, same order) — it is a physical-only
+    rewrite."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "user_id"
+    )
+    fast = sort_ops.sort_with_tiebreak(events, "event_type", "event_id")
+    plain = sort_ops.sort_with_tiebreak(
+        events, "event_type", "event_id", dict_encode=False
+    )
+    assert _rows(fast) == _rows(plain)
+    assert fast.columns == plain.columns
+
+
+def test_dict_encoded_sort_uses_radix_column(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    fast = sort_ops.sort_with_tiebreak(events, "event_type", "event_id")
+    assert "_radix_key" in fast._jdf.queryExecution().toString()
+
+
+def test_dict_encoded_sort_null_keys_sort_first(spark):
+    df = spark.createDataFrame(
+        [(None, 3), ("b", 1), ("a", 2), (None, 1), ("a", 0)],
+        "k string, tb long",
+    )
+    fast = sort_ops.sort_with_tiebreak(df, "k", "tb")
+    plain = sort_ops.sort_with_tiebreak(df, "k", "tb", dict_encode=False)
+    assert _rows(fast) == _rows(plain) == [
+        (None, 1), (None, 3), ("a", 0), ("a", 2), ("b", 1)
+    ]
+
+
+def test_dict_encoded_sort_falls_back_on_bad_tiebreaks(spark):
+    """Negative, null, or huge tiebreaks miss the composite's domain —
+    result must still be correct (via the plain path)."""
+    for rows in (
+        [("a", -5), ("b", 2), ("a", 1)],            # negative
+        [("a", None), ("b", 2), ("a", 1)],          # null tiebreak
+        [("a", 1 << 50), ("b", 2), ("a", 1)],       # >= 2^48
+    ):
+        df = spark.createDataFrame(rows, "k string, tb long")
+        fast = sort_ops.sort_with_tiebreak(df, "k", "tb")
+        plain = sort_ops.sort_with_tiebreak(df, "k", "tb", dict_encode=False)
+        assert _rows(fast) == _rows(plain)
+        assert "_radix_key" not in fast._jdf.queryExecution().toString()
+
+
+def test_dict_encoded_sort_falls_back_on_float_tiebreak(spark):
+    df = spark.createDataFrame([("a", 1.5), ("b", 0.5)], "k string, tb double")
+    fast = sort_ops.sort_with_tiebreak(df, "k", "tb")
+    assert "_radix_key" not in fast._jdf.queryExecution().toString()
+    assert _rows(fast) == [("a", 1.5), ("b", 0.5)]
+
+
+def test_dict_encoded_sort_radix_name_collision(spark):
+    df = spark.createDataFrame(
+        [("b", 2, "x"), ("a", 1, "y")], "k string, tb long, _radix_key string"
+    )
+    fast = sort_ops.sort_with_tiebreak(df, "k", "tb")
+    assert fast.columns == ["k", "tb", "_radix_key"]
+    assert _rows(fast) == [("a", 1, "y"), ("b", 2, "x")]
