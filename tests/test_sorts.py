@@ -156,3 +156,24 @@ def test_dict_encoded_sort_radix_name_collision(spark):
     fast = sort_ops.sort_with_tiebreak(df, "k", "tb")
     assert fast.columns == ["k", "tb", "_radix_key"]
     assert _rows(fast) == [("a", 1, "y"), ("b", 2, "x")]
+
+
+def test_dict_encoded_sort_random_property(spark):
+    """Property check: on random (key, tiebreak) data — including null
+    keys, duplicate tiebreaks across keys, and single-key degenerate
+    distributions — the fast path equals the plain path row for row."""
+    import random
+
+    rng = random.Random(1234)
+    keys = ["ASIA", "EUROPE", "AFRICA", None, "OCEANIA", ""]
+    for trial in range(5):
+        n = rng.randint(1, 400)
+        rows = [
+            (rng.choice(keys if trial % 2 else keys[:2]),
+             rng.randrange(0, 1 << 47))
+            for _ in range(n)
+        ]
+        df = spark.createDataFrame(rows, "k string, tb long").repartition(7)
+        fast = sort_ops.sort_with_tiebreak(df, "k", "tb")
+        plain = sort_ops.sort_with_tiebreak(df, "k", "tb", dict_encode=False)
+        assert _rows(fast) == _rows(plain), f"trial {trial} diverged"
