@@ -28,13 +28,13 @@ DECODE_SCHEMA = (
 )
 
 # Deterministic per-document image rule — duplicated in SQL by the oracle
-# fragments below, so DuckDB independently predicts what a CORRECT PNG
-# encode→decode round-trip must yield. All three are tiny expressions on
-# doc_id; every pixel in row y of doc d has value (d + y) % 256 in all
-# three channels.
+# fragments (queries/llm.py multimodal_* oracles), so DuckDB independently
+# predicts what a CORRECT PNG encode→decode round-trip must yield. Both
+# are tiny expressions on doc_id; every pixel in row y of doc d has value
+# (doc_id + y) % 256 in all three channels — the oracles inline that rule,
+# and tests/test_png_codec.py pins SQL and Python agreement.
 SQL_IMG_W = "(8 + doc_id % 9)"
 SQL_IMG_H = "(8 + (doc_id * 3) % 9)"
-SQL_ROW_VALUE = "((doc_id + {y}) % 256)"
 
 
 def png_codec():
@@ -101,6 +101,8 @@ def png_codec():
         pos, width, height, bit_depth, idat = 8, None, None, None, bytearray()
         while pos + 12 <= len(blob):
             (ln,) = struct.unpack(">I", blob[pos : pos + 4])
+            if pos + 12 + ln > len(blob):
+                raise ValueError("truncated chunk")
             tag = bytes(blob[pos + 4 : pos + 8])
             data = bytes(blob[pos + 8 : pos + 8 + ln])
             (crc,) = struct.unpack(">I", blob[pos + 8 + ln : pos + 12 + ln])
@@ -161,7 +163,8 @@ def png_codec():
 def image_rule():
     """The deterministic image-content rule as closures (cloudpickle
     by-value, same reason as :func:`png_codec`). Must stay in lockstep
-    with ``SQL_IMG_W`` / ``SQL_IMG_H`` / ``SQL_ROW_VALUE``."""
+    with ``SQL_IMG_W`` / ``SQL_IMG_H`` and the inline ``(doc_id + y) % 256``
+    row-value rule in the ``multimodal_*`` oracles."""
 
     def dims(doc_id: int) -> tuple[int, int]:
         return 8 + doc_id % 9, 8 + (doc_id * 3) % 9

@@ -38,9 +38,13 @@ def global_sort(df: DataFrame, *keys: str, ascending: bool = True) -> DataFrame:
     return df.orderBy(*cols)
 
 
-#: Dictionary-encoded sort preconditions: rank occupies bits 48..62 of the
-#: composite long, so at most 2^15 distinct keys and tiebreaks in [0, 2^48).
-DICT_SORT_MAX_KEYS = 1 << 15
+#: Dictionary-encoded sort preconditions. The rank lookup is a literal
+#: ``create_map`` probed per row — a LINEAR scan of the map expression —
+#: so the cap is where that scan stays trivially cheap, not where the
+#: composite long runs out of bits (2^15 ranks would fit, but a 32k-entry
+#: literal map would cost more per row than the sort it accelerates).
+#: Tiebreaks must land in [0, 2^48) so rank*2^48 + tiebreak fits a long.
+DICT_SORT_MAX_KEYS = 256
 DICT_SORT_TIEBREAK_BOUND = 1 << 48
 
 
@@ -70,12 +74,28 @@ def sort_with_tiebreak(df: DataFrame, key: str, tiebreak: str, dict_encode: bool
     shuffle is a few KB; a mis-declared HIGH-cardinality key costs one
     wasted key-column dedup but the ``limit`` keeps the driver fetch
     bounded — nothing unbounded ever reaches the driver. Any
-    precondition miss (too many keys, negative / non-integral / null /
-    >=2^48 tiebreaks) falls back to the plain two-column ``orderBy``, so
-    semantics never depend on the fast path.
+    precondition miss (unsafe key type, too many keys, negative /
+    non-integral / null / >=2^48 tiebreaks) falls back to the plain
+    two-column ``orderBy``, so semantics never depend on the fast path.
+
+    Key types are gated to string / integral / date BEFORE the pre-job:
+    those are exactly the types where Python's ``sorted()`` over the
+    collected dictionary reproduces Spark's ascending order (UTF-8 byte
+    order is codepoint order; ints and dates are total orders). Float
+    keys are excluded on purpose — NaN breaks ``sorted()`` (every
+    comparison False leaves the list unsorted) while Spark orders NaN
+    greatest, so a float fast path could silently mis-rank.
     """
+    from pyspark.sql import types as T
+
     plain = df.orderBy(F.col(key).asc(), F.col(tiebreak).asc())
     if not dict_encode:
+        return plain
+    key_type = df.schema[key].dataType
+    if not isinstance(
+        key_type,
+        (T.StringType, T.LongType, T.IntegerType, T.ShortType, T.ByteType, T.DateType),
+    ):
         return plain
     groups = (
         df.groupBy(key)

@@ -178,7 +178,19 @@ def drain_topk(
             .start()
         )
         q.awaitTermination()
-    candidates = sdf.sparkSession.read.parquet(out)
+    return resolve_topk_candidates(
+        sdf.sparkSession.read.parquet(out), k, order_cols, id_cols
+    )
+
+
+def resolve_topk_candidates(
+    candidates: DataFrame, k: int, order_cols: list, id_cols: list[str] | None
+) -> DataFrame:
+    """Read-side resolution of the top-k candidate store: dedup on row
+    identity (against at-least-once retries duplicating a batch's
+    contribution), then global re-rank. Split out from :func:`drain_topk`
+    so the retry path is directly testable without forcing a foreachBatch
+    retry (tests/test_streaming_incremental.py)."""
     candidates = (
         candidates.dropDuplicates(id_cols) if id_cols else candidates.distinct()
     )

@@ -76,15 +76,17 @@ def main() -> None:
     src = spark.read.parquet(data_dir)
     if config == "operator":
         # the shipped path: sort_with_tiebreak's dict-encoded fast path,
-        # INCLUDING its approx-count + distinct dictionary pre-jobs
+        # INCLUDING its groupBy(key) dictionary pre-job
         from kafka_stream_sorter_spark.operators.sort import sort_with_tiebreak
 
-        plan = None  # rebuilt per run so the pre-jobs are timed too
+        plan = None  # rebuilt per run so the pre-job is timed too
     elif config == "dictkey":
         # Dictionary-encode the 6-value key into the top byte of one long:
         # rank * 2^48 + id is radix-sortable in a single 8-byte prefix and
         # orders identically to (continent, id) for id < 2^48.
-        ranks = [r[0] for r in src.select("continent").distinct().collect()]
+        ranks = [
+            r[0] for r in src.select("continent").distinct().collect() if r[0] is not None
+        ]
         mapping = {c: i for i, c in enumerate(sorted(ranks))}
         rank_col = F.create_map(
             *[F.lit(x) for kv in mapping.items() for x in kv]

@@ -64,8 +64,16 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, rel_tol: flo
             # asymmetric (scales rtol by |b| only) and would be stricter
             # whenever the Spark value's magnitude exceeds the oracle's
             with np.errstate(invalid="ignore"):
-                close = np.abs(fa - fb) <= np.maximum(
-                    rel_tol * np.maximum(np.abs(fa), np.abs(fb)), 1e-12
+                # non-finite values must match exactly: inf-vs-finite and
+                # inf-vs--inf give |a-b| = inf <= rtol*inf and would count
+                # as "close" under the bare tolerance formula
+                both_finite = np.isfinite(fa) & np.isfinite(fb)
+                close = (fa == fb) | (
+                    both_finite
+                    & (
+                        np.abs(fa - fb)
+                        <= np.maximum(rel_tol * np.maximum(np.abs(fa), np.abs(fb)), 1e-12)
+                    )
                 )
             bad = int((not_both_nan & neq & ~close).sum())
             if bad:

@@ -75,6 +75,7 @@ def test_regression_stable_across_partitionings(spark):
     from kafka_stream_sorter_spark.registry import QUERIES
 
     fn = QUERIES["udf_grouped_regression"]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     results = []
     for parts in ("2", "32"):
         spark.conf.set("spark.sql.shuffle.partitions", parts)
@@ -84,6 +85,6 @@ def test_regression_stable_across_partitionings(spark):
                 for r in fn(spark, SF_DIR).collect()
             )
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
         results.append(rows)
     assert results[0] == results[1]

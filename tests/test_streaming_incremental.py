@@ -259,3 +259,46 @@ def test_stream_stream_join_across_batches_matches_batch(spark, sf_dir, split_ev
         .collect()
     }
     assert got == expected and len(expected) > 0
+
+
+def test_topk_candidate_resolution_survives_retried_batch(spark, sf_dir, split_events_dir):
+    """foreachBatch is at-least-once: simulate a retried micro-batch by
+    appending one batch's local top-k TWICE to the candidate store, then
+    assert the read-side resolution (resolve_topk_candidates) still yields
+    the exact batch top-k — no duplicate identity may occupy two of the k
+    slots (the r3-reviewed failure mode of drain_topk)."""
+    import os
+
+    from kafka_stream_sorter_spark.streaming.ops import resolve_topk_candidates
+
+    k = 50
+    order = [F.col("value").desc(), F.col("event_id").asc()]
+    batches = [
+        spark.read.parquet(os.path.join(split_events_dir, f))
+        .select("event_id", "value")
+        .orderBy(*order)
+        .limit(k)
+        for f in sorted(os.listdir(split_events_dir))
+        if f.endswith(".parquet")
+    ]
+    assert len(batches) >= 3, "fixture split should give multiple batches"
+    candidates = batches[0]
+    for b in batches[1:]:
+        candidates = candidates.unionAll(b)
+    candidates = candidates.unionAll(batches[1])  # the "retry"
+
+    got = resolve_topk_candidates(candidates, k, order, ["event_id"]).collect()
+    expected = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "value")
+        .orderBy(*order)
+        .limit(k)
+        .collect()
+    )
+    got_ids = [r.event_id for r in got]
+    assert len(set(got_ids)) == k, "a duplicated candidate occupies two slots"
+    assert got_ids == [r.event_id for r in expected]
+
+    # whole-row dedup (id_cols=None) must survive the retry as well
+    got_distinct = resolve_topk_candidates(candidates, k, order, None).collect()
+    assert [r.event_id for r in got_distinct] == [r.event_id for r in expected]
