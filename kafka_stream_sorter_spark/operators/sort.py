@@ -178,6 +178,10 @@ def with_global_position(df: DataFrame, *keys: str) -> DataFrame:
     # persist before the counts action: the range exchange samples bounds per
     # execution, so without pinning, the offset pass and the output pass could
     # see DIFFERENT partition boundaries → duplicated/skipped positions
+    # NOTE: the persisted frame backs the returned DataFrame, so it cannot
+    # be unpersisted here; it lives until Spark's LRU eviction or session
+    # cleanup. Callers looping over many fanouts should unpersist results
+    # (or clearCache) between batches.
     with_local = (
         ordered.withColumn("_local_rn", F.row_number().over(w))
         .withColumn("_pid", part)

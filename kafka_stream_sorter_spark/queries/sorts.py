@@ -80,8 +80,12 @@ def sort_low_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def keyed_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """≙ one source topic → three sorted output topics
-    (scripts/run.sh:33-35; cmd/sorter/main.go:42-46). The source is scanned
-    once (cached) instead of the reference's 3× re-read; each output's total
+    (scripts/run.sh:33-35; cmd/sorter/main.go:42-46). Like the reference,
+    each output scans the source once (3× total — a deliberate
+    non-caching choice: a registered builder that ``.cache()``-ed would
+    pin memory for the rest of the session, and at 100 TB the source
+    wouldn't fit anyway; a production fanout would stage the source to a
+    table once and let the three sorts read that). Each output's total
     order is materialized as an explicit position column (the
     order-into-a-partitioned-sink pattern, SURVEY.md §7.5)."""
     events = load_table(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
