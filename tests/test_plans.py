@@ -214,3 +214,20 @@ def test_overlap_join_is_hash_join_with_two_explodes(spark, sf_dir):
         QUERIES["join_interval_overlap"](spark, sf_dir), "BroadcastNestedLoopJoin"
     )
     assert "Join" in plan and plan.count("Generate") >= 2
+
+
+def test_low_cardinality_sort_plans_single_long_radix_exchange(spark, sf_dir):
+    """The dict-encoded fast path must plan as ONE range exchange keyed on
+    the composite long (collision-free 8-byte sort prefix) — not on the
+    (string, long) pair, and with no second Exchange from the rewrite."""
+    import re
+
+    from kafka_stream_sorter_spark.plans import physical_plan
+
+    df = QUERIES["sort_low_cardinality"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "_radix_key" in plan
+    exchanges = re.findall(r"rangepartitioning\(([^)]*)\)", plan)
+    assert len(exchanges) >= 1
+    for args in exchanges:
+        assert "_radix_key" in args and "event_type" not in args
