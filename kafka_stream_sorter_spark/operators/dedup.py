@@ -15,8 +15,12 @@ Scale design notes (the 100 TB story):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 from kafka_stream_sorter_spark.functions.text_hash import (
     LSH_BANDS,
@@ -405,12 +409,32 @@ def connected_dedup_groups(
         labels = stepped.drop("_changed")
         if changed == 0:
             break
+        _LOG.debug("connected-components round: %d labels changed", changed)
+        # Pointer jumping: label <- label(label). A label value is always
+        # the id of a touched node in the same component whose own label is
+        # <= it, so composing the mapping with itself is correct and
+        # monotone — and it collapses chain-shaped components exponentially
+        # (plain neighbor-min walks a path one hop per round, needing
+        # diameter rounds; with jumping the effective reach doubles, so a
+        # path of n nodes converges in O(log n) rounds). One extra
+        # vertex-sized self-join per round buys diameter-robustness: before
+        # this, any component with diameter > max_iter aborted the job.
+        lmap = labels.select(
+            F.col("doc_id").alias("_l_id"), F.col("label").alias("_l_lab")
+        )
+        labels = (
+            labels.join(lmap, labels.label == lmap._l_id, "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("_l_lab"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
     else:
-        # Convergence is guaranteed within graph-diameter rounds; hitting
-        # the cap means the component ids below may still be stale. Fail
-        # loudly — a silent wrong answer is worse than a retry with a
-        # higher cap (min-label propagation halves the frontier per round,
-        # so diameter > max_iter=20 implies a pathological chain graph).
+        # With pointer jumping, rounds grow like log2(diameter) + waves of
+        # the frontier, so max_iter=20 covers ~million-hop chains. Hitting
+        # the cap therefore signals a bug, not a big graph. Fail loudly —
+        # a silent wrong answer is worse than an abort.
         raise RuntimeError(
             f"connected_dedup_groups: no fixpoint after max_iter={max_iter} "
             f"rounds ({changed} labels still changing); raise max_iter"

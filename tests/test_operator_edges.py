@@ -185,3 +185,34 @@ def test_interval_join_pre_epoch_timestamps(spark):
     # edge (straddles the epoch boundary itself), 202 out, 203 excluded
     out = interval_join_after(left, right, ["k"], "lts", "rts", 10)
     assert sorted(r.rid for r in out.collect()) == [200, 201]
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 60-node path has diameter 59 — plain neighbor-min propagation
+    walks it one hop per round and would abort at max_iter=20. Pointer
+    jumping (label <- label(label), added round 4) must converge it in
+    O(log n) rounds with every node labeled by the chain head."""
+    from kafka_stream_sorter_spark.operators.dedup import connected_dedup_groups
+
+    n = 60
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], ["doc_a", "doc_b"]
+    )
+    got = {r.doc_id: r.component_id for r in connected_dedup_groups(nodes, edges).collect()}
+    assert got == {i: 1 for i in range(1, n + 1)}
+
+
+def test_connected_components_chain_worst_label_order(spark):
+    """Chain labeled so the MIN sits at the far end of the walk direction
+    (ids descending along the path): ids 1..40 connected as
+    (40,39),(39,38),... — the minimum must still reach node 40."""
+    from kafka_stream_sorter_spark.operators.dedup import connected_dedup_groups
+
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(i + 1, i) for i in range(1, n)], ["doc_a", "doc_b"]
+    )
+    got = {r.doc_id: r.component_id for r in connected_dedup_groups(nodes, edges).collect()}
+    assert got == {i: 1 for i in range(1, n + 1)}
