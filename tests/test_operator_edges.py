@@ -216,3 +216,52 @@ def test_connected_components_chain_worst_label_order(spark):
     )
     got = {r.doc_id: r.component_id for r in connected_dedup_groups(nodes, edges).collect()}
     assert got == {i: 1 for i in range(1, n + 1)}
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Fuzz: random graphs at several densities vs a pure-Python
+    union-find replica — exercises propagation + pointer jumping together
+    across multi-partition inputs (the jumping self-join shuffles by
+    label, a path no fixture-shaped graph stresses)."""
+    import random
+
+    from kafka_stream_sorter_spark.operators.dedup import connected_dedup_groups
+
+    def union_find(n, pairs):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical component id = min node id in the component
+        comp = {}
+        for x in range(n):
+            r = find(x)
+            comp.setdefault(r, []).append(x)
+        out = {}
+        for members in comp.values():
+            m = min(members)
+            for x in members:
+                out[x] = m
+        return out
+
+    rng = random.Random(99)
+    for n, n_edges in ((50, 10), (80, 80), (120, 300)):
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(n_edges)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+        edges = spark.createDataFrame(pairs, ["doc_a", "doc_b"]).repartition(5)
+        got = {
+            r.doc_id: r.component_id
+            for r in connected_dedup_groups(nodes, edges).collect()
+        }
+        assert got == union_find(n, pairs), f"diverged at n={n}, e={len(pairs)}"
