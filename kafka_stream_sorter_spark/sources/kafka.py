@@ -111,6 +111,15 @@ def sort_topic_pipeline(records: DataFrame, key: str) -> DataFrame:
     merge (external_sort.go:69-201)."""
     if key not in SORT_KEYS:
         raise ValueError(f"sort key must be one of {sorted(SORT_KEYS)}, got {key!r}")
+    if key == "continent":
+        # The one low-cardinality key of the reference's three-key surface:
+        # route through the dictionary-encoded radix fast path with id as
+        # tie-break — a superset of the reference's ties-arbitrary order
+        # (sort.Slice is unstable) that sorts 1.7-1.8x faster at 50M
+        # (operators/sort.py:sort_with_tiebreak; probe_offheap_sort.py).
+        from kafka_stream_sorter_spark.operators.sort import sort_with_tiebreak
+
+        return sort_with_tiebreak(records, SORT_KEYS[key], SORT_KEYS["id"])
     return records.orderBy(F.col(SORT_KEYS[key]).asc())
 
 

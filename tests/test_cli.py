@@ -43,3 +43,17 @@ def test_sort_rejects_bad_key(tmp_path):
 
     with pytest.raises(SystemExit):
         cli.main(["sort", "--key", "address", "--in", str(tmp_path), "--out", str(tmp_path / "o")])
+
+
+def test_sort_continent_uses_dict_path_and_validates(spark, tmp_path):
+    """key=continent routes through the dictionary-encoded radix fast path
+    (sources/kafka.py:sort_topic_pipeline) — the output must still be
+    totally ordered by continent and count-conserved, exactly like the
+    plain path the other two keys take."""
+    src, dst = str(tmp_path / "source"), str(tmp_path / "sorted_continent")
+    cli.main(["produce", "--rows", "5000", "--out", src])
+    cli.main(["sort", "--key", "continent", "--in", src, "--out", dst])
+    cli.main(["validate", "--key", "continent", "--in", src, "--out", dst])
+    out = spark.read.parquet(dst)
+    assert out.count() == 5000
+    assert out.columns == spark.read.parquet(src).columns  # no helper column leaks
