@@ -46,14 +46,26 @@ def count_violations(
     # sort emits partitions in key order — so ascending (pid, mono id) ==
     # produced row order. Checking against a window ordered by the sort key
     # itself would be self-fulfilling.
+    #
+    # Run identity is (partition_id, input_file): FileSourceScan BIN-PACKS
+    # several small files into one read partition (concatenated in
+    # size-order, not range-order), so a re-read of perfectly sorted
+    # range-disjoint files can show "inversions" at the file joints if the
+    # run were the partition alone. Found at 50M: the continent sort's
+    # ~60 MB files packed two per 128 MB partition and 5 joints inverted
+    # while the data itself was correct. For in-memory frames
+    # input_file_name() is '' and the run degrades to the partition, as
+    # before. A large file SPLIT across partitions still yields per-split
+    # runs — internally sorted and range-disjoint, fine under merge.
     keyed = (
         df.select(F.struct(*[F.col(k) for k in keys]).alias("k"))
         .withColumn("_pos", F.monotonically_increasing_id())
         .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_file", F.input_file_name())
         .persist()  # two passes (within + boundaries) must see one ordering
     )
     try:
-        w = Window.partitionBy("_pid").orderBy("_pos")
+        w = Window.partitionBy("_pid", "_file").orderBy("_pos")
         prev = F.lag("k").over(w)
         bad = (F.col("k") < prev) if ascending else (F.col("k") > prev)
         within = (
@@ -61,20 +73,26 @@ def count_violations(
         )
 
         bounds = (
-            keyed.groupBy("_pid")
+            keyed.groupBy("_pid", "_file")
             .agg(F.min_by("k", "_pos").alias("first_k"), F.max_by("k", "_pos").alias("last_k"))
             .collect()
         )
     finally:
         keyed.unpersist()
-    # allow_run_merge=True: boundary pairs compared in RANGE order (sorted
-    # by each run's first key) — runs that overlap still collide with their
-    # range-order neighbor, and within-run inversions are already counted
-    # above. False: compared in produced (_pid) order, so disjoint sorted
+    # allow_run_merge=True: boundary pairs compared in RANGE order — sorted
+    # by (first key, last key): the last-key tiebreak puts runs that START
+    # equal but END later after the ones that end at the shared value (a
+    # prefix of one key struct can tie while the tie-broken physical sort
+    # was total, e.g. validating by continent alone over a (continent, id)
+    # sort). Runs that truly overlap still collide with their range-order
+    # neighbor, and within-run inversions are already counted above.
+    # False: compared in produced (_pid, _pos) order, so disjoint sorted
     # runs emitted in scrambled partition order count as violations.
     if allow_run_merge:
         bounds = sorted(
-            bounds, key=lambda r: tuple(r["first_k"]), reverse=not ascending
+            bounds,
+            key=lambda r: (tuple(r["first_k"]), tuple(r["last_k"])),
+            reverse=not ascending,
         )
     else:
         bounds = sorted(bounds, key=lambda r: r["_pid"])

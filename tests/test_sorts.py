@@ -177,3 +177,42 @@ def test_dict_encoded_sort_random_property(spark):
         fast = sort_ops.sort_with_tiebreak(df, "k", "tb")
         plain = sort_ops.sort_with_tiebreak(df, "k", "tb", dict_encode=False)
         assert _rows(fast) == _rows(plain), f"trial {trial} diverged"
+
+
+def test_validate_binpacked_small_files_reread(spark, tmp_path):
+    """FileSourceScan bin-packs several small files into one read
+    partition, concatenated in SIZE order — a re-read of perfectly sorted
+    range-disjoint files must still validate (run identity is
+    (partition, file), not partition alone; found as 5 false inversions
+    validating the 50M continent sort). Genuinely unsorted file contents
+    must still fail."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_sorter_spark.validate import assert_sorted, count_violations
+
+    df = spark.range(0, 60_000).select(
+        (F.col("id") * 2654435761 % 1_000_003).alias("k"), F.col("id")
+    )
+    out = str(tmp_path / "many_small_sorted")
+    # explicit numPartitions bypasses AQE coalescing -> 64 small files
+    df.repartitionByRange(64, "k", "id").sortWithinPartitions("k", "id").write.parquet(out)
+    import glob
+
+    assert len(glob.glob(out + "/*.parquet")) >= 32
+    # zero the per-file open cost so the scan's bytes-per-core packing
+    # actually merges several files per read partition (the default 4 MB
+    # open cost keeps tiny fixture files 1:1 with partitions)
+    prev_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        back = spark.read.parquet(out)
+        assert back.rdd.getNumPartitions() < 64  # packing actually happened
+        assert_sorted(back, "k", "id")
+
+        # scrambled rows inside each file must still be caught by the
+        # within-run check
+        bad_dir = str(tmp_path / "many_small_unsorted")
+        df.repartitionByRange(8, "k", "id").write.parquet(bad_dir)  # no within-sort
+        assert count_violations(spark.read.parquet(bad_dir), "k", "id") > 0
+    finally:
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_cost)
