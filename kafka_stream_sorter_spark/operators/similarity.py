@@ -12,7 +12,11 @@ Two tiers (BASELINE.json north star):
   key. Same pattern as LSH-bucketed ANN.
 
 Ranking is by cosine ROUNDED to 6 decimals with vec_id tie-break, so the
-top-k boundary is engine-independent.
+top-k boundary is engine-independent — with one deliberate exception:
+:func:`brute_force_topk_vectorized` ranks on UNROUNDED float64 and omits
+the score (see its docstring: BLAS vs sequential-fold summation differs
+in the last ulp, so rounding would flip digits at half-boundaries far
+more often than unrounded ranks diverge on random data).
 """
 
 from __future__ import annotations
@@ -22,11 +26,11 @@ from pyspark.sql import functions as F
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<double> columns — one fused fold, no UDF."""
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
-    return dot / (na * nb)
+    """Cosine similarity of two array<double> columns — one fused fold, no
+    UDF. Delegates to the same folds every operator uses
+    (:func:`vec_norm` + :func:`cosine_with_norms`), so the fold-order
+    invariant lives in exactly one place."""
+    return cosine_with_norms(a, b, vec_norm(a), vec_norm(b))
 
 
 def vec_norm(a: Column) -> Column:
@@ -92,7 +96,11 @@ def brute_force_topk_vectorized(
     window over ``numPartitions × k × |queries|`` candidate rows picks the
     global top-k. The corpus is never shuffled and Python sees Arrow
     batches, not rows — this is 10-100× the per-row fold of
-    :func:`brute_force_topk` on wide corpora, with identical results.
+    :func:`brute_force_topk` on wide corpora. Results agree with the
+    fold-based operator except on measure-zero rank boundaries: this
+    path ranks on unrounded cosine (below) while brute_force_topk ranks
+    on round(cos, 6) + id, so two neighbors whose cosines round equal
+    but differ in the raw float can order differently at the k boundary.
 
     The query matrix is collected to the driver first: it is k-bounded
     (≪ broadcast threshold) by contract, exactly like a broadcast dim.
@@ -479,7 +487,8 @@ def ivf_kmeans_topk(
     k: int = 5,
 ) -> DataFrame:
     """ANN with a TRAINED coarse quantizer: k-means (fixed ``n_iter`` Lloyd
-    rounds, centroids seeded from the ``n_clusters`` lowest vec_ids), then
+    rounds, centroids seeded from vec_ids ``< n_clusters`` — the corpus
+    must contain ids 0..n_clusters-1, checked loudly), then
     probe = per-cluster top-k — the trained sibling of :func:`blocked_topk`
     (which inherits its partition from a label column).
 
@@ -500,7 +509,13 @@ def ivf_kmeans_topk(
     import math
 
     emb = _as_double(embeddings)
-    base = emb.select("vec_id", "embedding", _micros_vec(F.col("embedding")).alias("xi"))
+    # localCheckpoint: the training loop re-reads base n_iter+2 times (seed
+    # collect, each round's assign + stats, final assignment); without
+    # pinning, each pass re-runs the parquet scan + double cast + the
+    # interpreted _micros_vec transform from scratch.
+    base = emb.select(
+        "vec_id", "embedding", _micros_vec(F.col("embedding")).alias("xi")
+    ).localCheckpoint()
 
     seeds = (
         base.filter(F.col("vec_id") < n_clusters)
@@ -509,6 +524,16 @@ def ivf_kmeans_topk(
         .collect()
     )
     cent: dict[int, list[int]] = {int(r.vec_id): list(r.xi) for r in seeds}
+    if len(cent) != n_clusters:
+        # The seed rule is part of the determinism contract (the DuckDB
+        # oracle replays `vec_id < n_clusters` literally), so it requires
+        # ids 0..n_clusters-1 to exist. Fail with the contract named
+        # instead of a bare StopIteration on an empty dict.
+        raise ValueError(
+            f"ivf_kmeans_topk seeds from vec_ids < {n_clusters} but only "
+            f"{len(cent)} such ids exist; the corpus must contain "
+            f"contiguous ids 0..{n_clusters - 1} (or lower n_clusters)"
+        )
     dim = len(next(iter(cent.values())))
 
     for _ in range(n_iter):

@@ -166,9 +166,16 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-user
-    running count/sum/max — streaming/ops.py:user_running_stats."""
+    running count/sum/max — streaming/ops.py:user_running_stats. The
+    update-mode sink holds one row per (user, batch that touched it);
+    resolve_final_state keeps each user's last emission (max n_events —
+    strictly monotone per user), so the result stays one-row-per-user even
+    when the driver ships the events fixture as multiple files (= multiple
+    micro-batches)."""
     sdf = ops.user_running_stats(ops.stream_events(spark, sf_dir))
-    return ops.drain_to_table(sdf, "update")
+    return ops.resolve_final_state(
+        ops.drain_to_table(sdf, "update"), ["user_id"], "n_events"
+    )
 
 
 @query(

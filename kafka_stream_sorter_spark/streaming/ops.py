@@ -116,6 +116,42 @@ def drain_to_table(sdf: DataFrame, output_mode: str) -> DataFrame:
     return sdf.sparkSession.table(name)
 
 
+def _run_foreach_batch(sdf: DataFrame, emit) -> None:
+    """Shared drain scaffold: foreachBatch + fresh checkpoint +
+    AvailableNow + await. One place to change drain policy instead of a
+    copy per operator."""
+    with _stream_shuffle(sdf.sparkSession):
+        q = (
+            sdf.writeStream.foreachBatch(emit)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+def _batch_dir(out: str, batch_id: int) -> str:
+    """Deterministic per-batch output path. foreachBatch is at-least-once:
+    a batch replayed after a partial failure re-runs emit(), and a plain
+    mode('append') would duplicate the whole batch. Writing each batch to
+    its own ``batch_id=N`` dir with mode('overwrite') makes the retry
+    idempotent — the replay clobbers its own previous attempt, never a
+    neighbor's."""
+    return os.path.join(out, f"batch_id={batch_id}")
+
+
+def _read_runs(spark, out: str, schema) -> DataFrame:
+    """Read every batch run under ``out``; empty stream (no batch ever
+    fired, so no dir exists) reads as an empty frame with the stream's
+    schema instead of an 'unable to infer schema' AnalysisException. The
+    discovered batch_id partition column is internal — dropped."""
+    import glob
+
+    if not glob.glob(os.path.join(out, "batch_id=*")):
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(out).drop("batch_id")
+
+
 def drain_sorted(sdf: DataFrame, keys: list[str]) -> DataFrame:
     """The reference's flagship pipeline as a stream job: drain the bounded
     stream and materialize a totally ordered result (≙ ExternalSort →
@@ -128,21 +164,15 @@ def drain_sorted(sdf: DataFrame, keys: list[str]) -> DataFrame:
     returned frame applies one merge pass (`orderBy` over the runs). On a
     single-batch drain the merge is a near-no-op (data already globally
     sorted within the one run); on a multi-batch drain it is the k-way
-    merge phase, distributed. No single-writer bottleneck either way."""
+    merge phase, distributed. No single-writer bottleneck either way.
+    Batch replays are idempotent (per-batch overwrite dirs, _batch_dir)."""
     out = tempfile.mkdtemp(prefix="sorted_drain_")
 
-    def emit(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.orderBy(*keys).write.mode("append").parquet(out)
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.orderBy(*keys).write.mode("overwrite").parquet(_batch_dir(out, batch_id))
 
-    with _stream_shuffle(sdf.sparkSession):
-        q = (
-            sdf.writeStream.foreachBatch(emit)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return sdf.sparkSession.read.parquet(out).orderBy(*keys)
+    _run_foreach_batch(sdf, emit)
+    return _read_runs(sdf.sparkSession, out, sdf.schema).orderBy(*keys)
 
 
 def drain_topk(
@@ -158,28 +188,23 @@ def drain_topk(
     at 100 TB the candidate store is a compacted topic/table the next batch
     folds into.
 
-    foreachBatch is at-least-once: a retried batch appends its candidates
-    twice, and a duplicated row could occupy two of the k slots and
-    displace a legitimate one. The read side therefore deduplicates on
-    ``id_cols`` (row identity, e.g. the event key) — cheap, since the
-    candidate store is only O(k × n_batches) rows. Pass ``id_cols=None``
-    only when the stream itself can never contain two rows with equal
-    identity (then whole-row dedup is used)."""
+    foreachBatch is at-least-once: batch replays are made idempotent by
+    per-batch overwrite dirs (_batch_dir), and — belt over braces — the
+    read side still deduplicates on ``id_cols`` (row identity, e.g. the
+    event key; cheap, the candidate store is only O(k × n_batches) rows)
+    so duplicate identities in the stream itself can't occupy two of the
+    k slots. Pass ``id_cols=None`` only when the stream can never contain
+    two rows with equal identity (then whole-row dedup is used)."""
     out = tempfile.mkdtemp(prefix="stream_topk_")
 
-    def emit(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.orderBy(*order_cols).limit(k).write.mode("append").parquet(out)
-
-    with _stream_shuffle(sdf.sparkSession):
-        q = (
-            sdf.writeStream.foreachBatch(emit)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-            .trigger(availableNow=True)
-            .start()
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.orderBy(*order_cols).limit(k).write.mode("overwrite").parquet(
+            _batch_dir(out, batch_id)
         )
-        q.awaitTermination()
+
+    _run_foreach_batch(sdf, emit)
     return resolve_topk_candidates(
-        sdf.sparkSession.read.parquet(out), k, order_cols, id_cols
+        _read_runs(sdf.sparkSession, out, sdf.schema), k, order_cols, id_cols
     )
 
 
@@ -195,6 +220,23 @@ def resolve_topk_candidates(
         candidates.dropDuplicates(id_cols) if id_cols else candidates.distinct()
     )
     return candidates.orderBy(*order_cols).limit(k)
+
+
+def resolve_final_state(df: DataFrame, key_cols: list[str], version_col: str) -> DataFrame:
+    """Per-key FINAL emission of an update-mode drain.
+
+    In update mode the memory sink appends every micro-batch's re-emission
+    for keys whose state changed, so a multi-batch drain holds stale
+    intermediate rows alongside the final ones (a single-file fixture =
+    one micro-batch hides this — the classic trap CLAUDE.md flags). Keep
+    the row with the highest ``version_col``, which must be a per-key
+    monotone counter (e.g. a running n_events: strictly increasing each
+    time the key re-emits, so ties across batches are impossible)."""
+    others = [c for c in df.columns if c not in key_cols]
+    agg = df.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*others), F.col(version_col)).alias("_final")
+    )
+    return agg.select(*key_cols, "_final.*")
 
 
 def user_running_stats(sdf: DataFrame) -> DataFrame:
@@ -260,10 +302,15 @@ def cdc_latest(sdf: DataFrame, key_cols: list[str], order_cols: list[str]) -> Da
     latest row (foreachBatch window argmax) and appends a delta file; the
     read side resolves the global winner per key across deltas — the
     Hudi/Delta merge-on-read topology without a table format. Writers
-    never rewrite history (append-only, safe under concurrent batches);
-    compaction cost rides on the reader until a background rewrite folds
-    deltas. Deterministic: the winner is the max of ``order_cols``, never
-    arrival order."""
+    never rewrite history (per-batch idempotent overwrite dirs, safe
+    under at-least-once replays); compaction cost rides on the reader
+    until a background rewrite folds deltas.
+
+    Determinism contract: the winner is the max of ``order_cols`` — so
+    ``order_cols`` MUST be unique per key (e.g. end with a unique change
+    id, as the registered stream_cdc_upsert does with event_id). With
+    ties left in, row_number picks whichever row the shuffle delivered
+    first, which varies across runs and engines."""
     from pyspark.sql import Window
 
     out = tempfile.mkdtemp(prefix="cdc_upsert_")
@@ -273,15 +320,8 @@ def cdc_latest(sdf: DataFrame, key_cols: list[str], order_cols: list[str]) -> Da
         w = Window.partitionBy(*key_cols).orderBy(*order)
         return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
-    def emit(batch_df: DataFrame, _batch_id: int) -> None:
-        latest(batch_df).write.mode("append").parquet(out)
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        latest(batch_df).write.mode("overwrite").parquet(_batch_dir(out, batch_id))
 
-    with _stream_shuffle(sdf.sparkSession):
-        q = (
-            sdf.writeStream.foreachBatch(emit)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return latest(sdf.sparkSession.read.parquet(out))
+    _run_foreach_batch(sdf, emit)
+    return latest(_read_runs(sdf.sparkSession, out, sdf.schema))

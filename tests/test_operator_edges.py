@@ -265,3 +265,20 @@ def test_connected_components_random_graphs_vs_union_find(spark):
             for r in connected_dedup_groups(nodes, edges).collect()
         }
         assert got == union_find(n, pairs), f"diverged at n={n}, e={len(pairs)}"
+
+
+def test_ivf_kmeans_rejects_non_contiguous_seed_ids(spark):
+    """The seed rule (vec_id < n_clusters, replayed literally by the
+    DuckDB oracle) requires ids 0..n_clusters-1; a corpus without them
+    must fail with the contract named, not StopIteration / silent
+    under-clustering."""
+    import pytest as _pytest
+
+    from kafka_stream_sorter_spark.operators.similarity import ivf_kmeans_topk
+
+    emb = spark.createDataFrame(
+        [(1000 + i, [float(i), float(i % 3)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="contiguous ids"):
+        ivf_kmeans_topk(emb, query_ids=[1000], n_clusters=4)

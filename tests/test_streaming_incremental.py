@@ -39,21 +39,24 @@ def test_stateful_agg_accumulates_across_batches(spark, sf_dir, split_events_dir
     double-counted or dropped."""
     from kafka_stream_sorter_spark.streaming.ops import (
         drain_to_table,
+        resolve_final_state,
         user_running_stats,
     )
 
     sdf = user_running_stats(_stream(spark, split_events_dir))
     got = drain_to_table(sdf, "update")
-    # update mode re-emits a user's row per batch it appears in; the LAST
-    # emission per user is the final state. max(n_events) == last emission
-    # for monotone counters.
-    final = got.groupBy("user_id").agg(F.max("n_events").alias("n"))
+    # update mode re-emits a user's row per batch it appears in — the raw
+    # sink MUST hold more rows than users here (multi-batch is the point)
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert got.count() > n_users
+    # the registered query's resolution: last emission per user
+    final = resolve_final_state(got, ["user_id"], "n_events")
     expected = (
         load_table(spark, sf_dir, "events").groupBy("user_id").count()
     )
     diff = (
         final.join(expected, "user_id")
-        .filter(F.col("n") != F.col("count"))
+        .filter(F.col("n_events") != F.col("count"))
         .count()
     )
     assert diff == 0
@@ -302,3 +305,29 @@ def test_topk_candidate_resolution_survives_retried_batch(spark, sf_dir, split_e
     # whole-row dedup (id_cols=None) must survive the retry as well
     got_distinct = resolve_topk_candidates(candidates, k, order, None).collect()
     assert [r.event_id for r in got_distinct] == [r.event_id for r in expected]
+
+
+def test_drains_survive_empty_stream(spark, tmp_path):
+    """A stream whose source matches zero files fires no micro-batch, so
+    no batch dir is ever written — the file-backed drains must return an
+    empty frame with the stream's schema instead of raising 'unable to
+    infer schema' on the empty output dir."""
+    from kafka_stream_sorter_spark.streaming.ops import (
+        cdc_latest,
+        drain_sorted,
+        drain_topk,
+    )
+
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    schema = "event_id long, user_id long, value double"
+    empty = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(src))
+    )
+    sorted_out = drain_sorted(empty, ["event_id"])
+    assert sorted_out.count() == 0
+    assert sorted_out.columns == ["event_id", "user_id", "value"]
+    assert drain_topk(empty, 5, [F.col("value").desc()], ["event_id"]).count() == 0
+    assert cdc_latest(empty, ["user_id"], ["event_id"]).count() == 0
