@@ -55,34 +55,59 @@ def _as_double(df: DataFrame) -> DataFrame:
     return df.withColumn("embedding", F.col("embedding").cast("array<double>"))
 
 
-def brute_force_topk(
-    embeddings: DataFrame, query_ids: list[int], k: int = 10
-) -> DataFrame:
-    """Exact top-k cosine neighbors for each query vector (self excluded)."""
-    emb = _as_double(embeddings).withColumn("_norm", vec_norm(F.col("embedding")))
-    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+def _with_norm(df: DataFrame) -> DataFrame:
+    return df.withColumn("_norm", vec_norm(F.col("embedding")))
+
+
+def _query_frame(emb: DataFrame, query_ids: list[int], carry: list[str]) -> DataFrame:
+    """The broadcast-side query frame every ANN operator builds: the query
+    vectors with their precomputed norms, plus ``carry`` columns renamed
+    ``q_<col>`` (bucket / label / cluster — the operator's join key)."""
+    sel = [
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("_norm").alias("q_norm"),
-    )
-    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
-    scored = pairs.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
+    ] + [F.col(c).alias(f"q_{c}") for c in carry]
+    return emb.filter(F.col("vec_id").isin(query_ids)).select(*sel)
+
+
+def _score_candidates(cand: DataFrame, carry: dict[str, Column]) -> DataFrame:
+    """(query, candidate) pairs → scored rows. The round-to-6 +
+    precomputed-norm cosine policy lives HERE, once, for every bucketed/
+    blocked/brute-force operator (the vectorized BLAS path is the one
+    documented exception)."""
+    cols = ["query_id", F.col("vec_id").alias("neighbor_id")]
+    cols += [expr.alias(name) for name, expr in carry.items()]
+    cols.append(
         F.round(
             cosine_with_norms(
                 F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("_norm")
             ),
             6,
-        ).alias("cos_sim"),
+        ).alias("cos_sim")
     )
+    return cand.select(*cols)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k under the engine-stable (cos_sim desc, id asc)
+    order — the shared tail of every ANN operator."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
     )
+
+
+def brute_force_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (self excluded)."""
+    emb = _with_norm(_as_double(embeddings))
+    q = _query_frame(emb, query_ids, [])
+    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    return _rank_topk(_score_candidates(pairs, {}), k)
 
 
 def brute_force_topk_vectorized(
@@ -158,12 +183,8 @@ def brute_force_topk_vectorized(
     cand = embeddings.select("vec_id", "embedding").mapInPandas(
         score_partition, "query_id long, neighbor_id long, cos_sim double"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
     return (
-        cand.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+        _rank_topk(cand, k)
         .select("query_id", "neighbor_id", "rank")
     )
 
@@ -231,39 +252,15 @@ def lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> DataFra
     from the vector itself — the self-indexing scale path when no cluster
     assignment exists. Queries landing in singleton buckets return fewer
     than k rows (the standard LSH recall trade; widen with multi-probe)."""
-    emb = (
-        _as_double(embeddings)
-        .withColumn("bucket", hyperplane_bucket(F.col("embedding")))
-        .withColumn("_norm", vec_norm(F.col("embedding")))
+    emb = _with_norm(
+        _as_double(embeddings).withColumn("bucket", hyperplane_bucket(F.col("embedding")))
     )
-    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("bucket").alias("q_bucket"),
-        F.col("embedding").alias("q_emb"),
-        F.col("_norm").alias("q_norm"),
-    )
+    q = _query_frame(emb, query_ids, ["bucket"])
     cand = emb.join(
         F.broadcast(q),
         (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
     )
-    scored = cand.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("bucket").alias("bucket"),
-        F.round(
-            cosine_with_norms(
-                F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("_norm")
-            ),
-            6,
-        ).alias("cos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(_score_candidates(cand, {"bucket": F.col("bucket")}), k)
 
 
 def lsh_topk_multiprobe(
@@ -283,10 +280,8 @@ def lsh_topk_multiprobe(
     (LSH_BITS+1) × the per-bucket candidate count; each (query, candidate)
     pair arises from exactly one probe value (all probes are distinct), so
     no dedup pass is needed."""
-    emb = (
-        _as_double(embeddings)
-        .withColumn("bucket", hyperplane_bucket(F.col("embedding")))
-        .withColumn("_norm", vec_norm(F.col("embedding")))
+    emb = _with_norm(
+        _as_double(embeddings).withColumn("bucket", hyperplane_bucket(F.col("embedding")))
     )
     probes = F.array(
         F.col("q_bucket"),
@@ -295,38 +290,12 @@ def lsh_topk_multiprobe(
             for j in range(LSH_BITS)
         ],
     )
-    q = (
-        emb.filter(F.col("vec_id").isin(query_ids))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("bucket").alias("q_bucket"),
-            F.col("embedding").alias("q_emb"),
-            F.col("_norm").alias("q_norm"),
-        )
-        .withColumn("probe", F.explode(probes))
-    )
+    q = _query_frame(emb, query_ids, ["bucket"]).withColumn("probe", F.explode(probes))
     cand = emb.join(
         F.broadcast(q),
         (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
     )
-    scored = cand.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("bucket").alias("bucket"),
-        F.round(
-            cosine_with_norms(
-                F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("_norm")
-            ),
-            6,
-        ).alias("cos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(_score_candidates(cand, {"bucket": F.col("bucket")}), k)
 
 
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.999) -> DataFrame:
@@ -339,10 +308,8 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.999) ->
     embeddings are isotropic random unit vectors (no true near-dups exist at
     any sf), so the registered query sets the threshold at the similarity
     distribution's tail to keep the verify path exercised end-to-end."""
-    emb = (
-        _as_double(embeddings)
-        .withColumn("bucket", hyperplane_bucket(F.col("embedding")))
-        .withColumn("_norm", vec_norm(F.col("embedding")))
+    emb = _with_norm(
+        _as_double(embeddings).withColumn("bucket", hyperplane_bucket(F.col("embedding")))
     )
     a, b = emb.alias("a"), emb.alias("b")
     return (
@@ -373,34 +340,14 @@ def blocked_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> Dat
     """IVF-style ANN: candidates share the query's block (label ≙ coarse
     cluster id). The corpus-side join key makes this an ordinary shuffle
     join — per-block quadratic, never corpus-quadratic."""
-    emb = _as_double(embeddings).withColumn("_norm", vec_norm(F.col("embedding")))
-    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("q_label"),
-        F.col("embedding").alias("q_emb"),
-        F.col("_norm").alias("q_norm"),
-    )
+    emb = _with_norm(_as_double(embeddings))
+    q = _query_frame(emb, query_ids, ["label"])
     cand = emb.join(
         F.broadcast(q),
         (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("query_id")),
     )
-    scored = cand.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").cast("long").alias("block"),
-        F.round(
-            cosine_with_norms(
-                F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("_norm")
-            ),
-            6,
-        ).alias("cos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+    return _rank_topk(
+        _score_candidates(cand, {"block": F.col("label").cast("long")}), k
     )
 
 
@@ -413,10 +360,8 @@ def knn_self_join(embeddings: DataFrame, k: int = 3) -> DataFrame:
     candidates only. At 100 TB, LSH_BITS scales the bucket count to keep
     each block executor-sized; vectors in singleton buckets yield no rows
     (the standard LSH recall trade — widen with multi-probe)."""
-    emb = (
-        _as_double(embeddings)
-        .withColumn("bucket", hyperplane_bucket(F.col("embedding")))
-        .withColumn("_norm", vec_norm(F.col("embedding")))
+    emb = _with_norm(
+        _as_double(embeddings).withColumn("bucket", hyperplane_bucket(F.col("embedding")))
     )
     a, b = emb.alias("a"), emb.alias("b")
     scored = a.join(
@@ -436,10 +381,7 @@ def knn_self_join(embeddings: DataFrame, k: int = 3) -> DataFrame:
             6,
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
-        F.col("rank") <= k
-    )
+    return _rank_topk(scored, k)
 
 
 # ---------------------------------------------------------------------------
@@ -556,33 +498,12 @@ def ivf_kmeans_topk(
             )
         cent = {cid: new.get(cid, vec) for cid, vec in cent.items()}
 
-    final = base.withColumn("cluster", _nearest_cluster(cent)).withColumn(
-        "_norm", vec_norm(F.col("embedding"))
-    )
-    q = final.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("cluster").alias("q_cluster"),
-        F.col("embedding").alias("q_emb"),
-        F.col("_norm").alias("q_norm"),
-    )
+    final = _with_norm(base.withColumn("cluster", _nearest_cluster(cent)))
+    q = _query_frame(final, query_ids, ["cluster"])
     cand = final.join(
         F.broadcast(q),
         (F.col("cluster") == F.col("q_cluster")) & (F.col("vec_id") != F.col("query_id")),
     )
-    scored = cand.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("cluster").cast("long").alias("cluster"),
-        F.round(
-            cosine_with_norms(
-                F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("_norm")
-            ),
-            6,
-        ).alias("cos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
-        F.col("rank") <= k
+    return _rank_topk(
+        _score_candidates(cand, {"cluster": F.col("cluster").cast("long")}), k
     )
