@@ -26,6 +26,12 @@ def money_micros(col: Column) -> Column:
     return F.floor(col * 1_000_000 + 0.5).cast("long")
 
 
+def ts_lit(lit: str) -> Column:
+    """Timestamp literal (UTC session) — shared by the TPC-H and
+    relational query modules so the literal-building rule exists once."""
+    return F.lit(lit).cast("timestamp")
+
+
 def epoch_us(col: Column | str) -> Column:
     """Microseconds since the epoch of a timestamp column — the ONE place
     epoch extraction happens engine-wide (DuckDB twin: ``epoch_us(ts)``).

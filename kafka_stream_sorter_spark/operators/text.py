@@ -104,12 +104,19 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
     punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
     distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
+    # n_tok >= 1 always (split of '' is ['']), but n_chars CAN be 0: an
+    # empty-text doc would hit DIVIDE_BY_ZERO under Spark 4's default ANSI
+    # mode while DuckDB quietly yields NULL — guard both sides to 0 (the
+    # oracle carries the matching CASE WHEN).
+    punct_ratio = F.when(
+        n_chars > 0, F.floor(punct / n_chars * 1_000_000)
+    ).otherwise(F.lit(0))
     return df.select(
         "doc_id",
         n_tok.cast("long").alias("n_tokens"),
         F.floor(n_chars / n_tok * 1000).cast("long").alias("avg_token_len_milli"),
         F.floor(stop_hits / n_tok * 1_000_000).cast("long").alias("stopword_ratio_micro"),
-        F.floor(punct / n_chars * 1_000_000).cast("long").alias("punct_ratio_micro"),
+        punct_ratio.cast("long").alias("punct_ratio_micro"),
         F.floor(distinct_ratio * 1_000_000).cast("long").alias("distinct_ratio_micro"),
     )
 
@@ -180,19 +187,29 @@ def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
 
     top_n = F.aggregate(F.array_sort(toks), acc0, _run, lambda acc: acc.getField("best"))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_tok - 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
+    # single-token docs have NO bigrams: the old sequence(1, greatest(n-1, 1))
+    # still emitted index 1 and element_at(toks, 2) threw
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT under Spark 4's default ANSI mode.
+    # Guard to an empty array (the oracle's CASE WHEN len >= 2 twin), and
+    # guard the ratio's /n_bi the same way.
+    bigrams = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     n_bi = F.size(bigrams)
+    dup_bigram = F.when(
+        n_bi > 0,
+        F.floor((1 - F.size(F.array_distinct(bigrams)) / n_bi) * 1_000_000),
+    ).otherwise(F.lit(0))
     return df.select(
         "doc_id",
         n_tok.cast("long").alias("n_tokens"),
         top_n.cast("long").alias("top_token_count"),
         F.floor(top_n / n_tok * 1_000_000).cast("long").alias("top_token_ratio_micro"),
-        F.floor((1 - F.size(F.array_distinct(bigrams)) / n_bi) * 1_000_000)
-        .cast("long")
-        .alias("dup_bigram_ratio_micro"),
+        dup_bigram.cast("long").alias("dup_bigram_ratio_micro"),
     )
 
 
@@ -213,10 +230,13 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     without hauling full text through the compare)."""
     text = F.lower(F.col(text_col))
     n_emails = F.regexp_count(text, F.lit(PII_EMAIL_RE))
-    n_phones = F.regexp_count(text, F.lit(PII_PHONE_RE))
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(text, PII_EMAIL_RE, "<email>"), PII_PHONE_RE, "<phone>"
-    )
+    # Phones are counted on the email-scrubbed intermediate, not the raw
+    # text, so a phone-shaped digit run inside an email address is neither
+    # counted nor double-redacted — the counts describe exactly the
+    # redactions performed (the oracle counts on the same intermediate).
+    email_scrubbed = F.regexp_replace(text, PII_EMAIL_RE, "<email>")
+    n_phones = F.regexp_count(email_scrubbed, F.lit(PII_PHONE_RE))
+    scrubbed = F.regexp_replace(email_scrubbed, PII_PHONE_RE, "<phone>")
     return df.select(
         "doc_id",
         n_emails.cast("long").alias("n_emails"),
@@ -241,14 +261,14 @@ def chunk_windows(
     starts = F.sequence(
         F.lit(1), F.greatest(F.length(text) - size + stride, F.lit(1)), F.lit(stride)
     )
-    chunk = F.substring(text, F.col("start"), size)
+    chunk = F.substring(F.col("__t"), F.col("start"), size)
     return (
         df.select("doc_id", text.alias("__t"), F.posexplode(starts).alias("chunk_idx", "start"))
         .select(
             "doc_id",
             F.col("chunk_idx").cast("long").alias("chunk_idx"),
             F.col("start").cast("long").alias("chunk_start"),
-            F.length(F.substring(F.col("__t"), F.col("start"), size)).cast("long").alias("chunk_len"),
-            char_poly_hash(F.substring(F.col("__t"), F.col("start"), size)).alias("chunk_hash"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+            char_poly_hash(chunk).alias("chunk_hash"),
         )
     )

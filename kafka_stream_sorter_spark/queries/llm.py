@@ -108,8 +108,9 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(len(list_filter(toks,
                 x -> list_contains(['the','a','of','and','is'], x))) / len(toks) * 1000000)
                 AS BIGINT) AS stopword_ratio_micro,
-           CAST(floor((nc - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / nc * 1000000)
-                AS BIGINT) AS punct_ratio_micro,
+           CAST(CASE WHEN nc > 0
+                     THEN floor((nc - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / nc * 1000000)
+                     ELSE 0 END AS BIGINT) AS punct_ratio_micro,
            CAST(floor(len(list_distinct(toks)) / len(toks) * 1000000) AS BIGINT)
                 AS distinct_ratio_micro
     FROM t
@@ -960,16 +961,24 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END) AS t
       FROM documents
     ),
+    es AS (
+      SELECT doc_id, t,
+             regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{{2,}}',
+                            '<email>', 'g') AS t_email_scrubbed
+      FROM aug
+    ),
     scrubbed AS (
+      -- phones counted on the email-scrubbed intermediate (operator twin):
+      -- a phone-shaped digit run inside an email is neither counted nor
+      -- double-redacted
       SELECT doc_id,
              CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{{2,}}')) AS BIGINT)
                AS n_emails,
-             CAST(len(regexp_extract_all(t, '[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}')) AS BIGINT)
+             CAST(len(regexp_extract_all(t_email_scrubbed, '[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}')) AS BIGINT)
                AS n_phones,
-             regexp_replace(regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{{2,}}',
-                                           '<email>', 'g'),
+             regexp_replace(t_email_scrubbed,
                             '[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}', '<phone>', 'g') AS s
-      FROM aug
+      FROM es
     )
     SELECT doc_id, n_emails, n_phones,
            CAST(length(s) AS BIGINT) AS scrubbed_len,

@@ -22,13 +22,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_stream_sorter_spark.functions.numeric import epoch_us, money_micros
+from kafka_stream_sorter_spark.functions.numeric import (
+    MONEY_MICROS_SQL,
+    epoch_us,
+    money_micros,
+    ts_lit as _ts,
+)
 from kafka_stream_sorter_spark.registry import query
 from kafka_stream_sorter_spark.sources.parquet import load_table
 
 
-def _ts(lit: str) -> F.Column:
-    return F.lit(lit).cast("timestamp")
 
 
 # ---------------------------------------------------------------------------
@@ -173,12 +176,12 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_tpch_q1",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                    AS sum_qty,
            round(sum(l_extendedprice), 2)                               AS sum_base_price,
-           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_micros,
-           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_micros,
+           CAST(sum({MONEY_MICROS_SQL("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS sum_disc_price_micros,
+           CAST(sum({MONEY_MICROS_SQL("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}) AS BIGINT) AS sum_charge_micros,
            round(avg(l_quantity), 4)                                    AS avg_qty,
            round(avg(l_extendedprice), 4)                               AS avg_price,
            round(avg(l_discount), 4)                                    AS avg_disc,
@@ -315,8 +318,8 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q6",
-    oracle="""
-    SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_micros
+    oracle=f"""
+    SELECT CAST(sum({MONEY_MICROS_SQL("l_extendedprice * l_discount")}) AS BIGINT) AS revenue_micros
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -345,9 +348,9 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q3_topk",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey,
-           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_micros,
+           CAST(sum({MONEY_MICROS_SQL("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_micros,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -571,9 +574,9 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scalar_math",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey, l_linenumber,
-           CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000 + 0.5) AS BIGINT) AS charge_micros,
+           {MONEY_MICROS_SQL("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS charge_micros,
            CAST(ceil(l_quantity / 7.0) AS BIGINT)  AS qty_bucket,
            CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_kband,
            abs(l_discount - 0.05)                  AS disc_dev,
@@ -729,10 +732,10 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_salted_skew",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_micros
+           CAST(sum({MONEY_MICROS_SQL("value")}) AS BIGINT) AS sum_value_micros
     FROM events GROUP BY event_type
     """,
 )
@@ -1124,13 +1127,13 @@ def topk_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_range_frame",
-    oracle="""
+    oracle=f"""
     SELECT user_id, event_id,
            CAST(count(*) OVER (
              PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW
            ) AS BIGINT) AS n_last_24h,
-           CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) OVER (
+           CAST(sum({MONEY_MICROS_SQL("value")}) OVER (
              PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW
            ) AS BIGINT) AS sum_last_24h_micros
@@ -1189,10 +1192,10 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registered views — the SQL-API entry point a reference user would reach
 # for first — and the oracle runs the identical string in DuckDB. Dialect
 # kept to the shared ANSI core (CTE, join, window, floor/cast money micros).
-_SQL_INTERFACE = """
+_SQL_INTERFACE = f"""
     WITH rev AS (
       SELECT c_mktsegment, c_custkey, c_name,
-             CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             CAST(sum({MONEY_MICROS_SQL("o_totalprice")}) AS BIGINT)
                AS rev_micros
       FROM customer JOIN orders ON o_custkey = c_custkey
       GROUP BY c_mktsegment, c_custkey, c_name
@@ -1228,14 +1231,17 @@ def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber, measure, value
     FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
           FROM lineitem)
-    UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount))
+    UNPIVOT INCLUDE NULLS (value FOR measure IN (l_quantity, l_extendedprice, l_discount))
     """,
 )
 def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot/melt — the inverse of agg_pivot: three measure columns fold
     into (measure, value) rows. A pure Expand map stage (row triplication
     without shuffle); values pass through as raw stored doubles, so both
-    engines emit identical bits."""
+    engines emit identical bits. INCLUDE NULLS pins the one semantic the
+    engines default differently on: Spark's unpivot keeps NULL-valued
+    measure rows, DuckDB's drops them — inert on today's non-null TPC-H
+    measures, a hash mismatch the day a fixture carries a NULL."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.unpivot(
         ["l_orderkey", "l_linenumber"],
@@ -1272,7 +1278,14 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="token_idx: long, token: string")
     class FirstTokens:
         def eval(self, text: str):
-            for i, tok in enumerate(text.strip().lower().split()[:5]):
+            import re
+
+            # re.split, NOT str.split: on empty/whitespace-only text
+            # str.split() yields [] (doc emits zero rows) while the
+            # oracle's regexp_split_to_array yields [''] (one row with an
+            # empty token). re.split matches the oracle — and every other
+            # tokenizing query's F.split — exactly.
+            for i, tok in enumerate(re.split(r"\s+", text.strip().lower())[:5]):
                 yield i, tok
 
     spark.udtf.register("first_tokens", FirstTokens)
@@ -1287,12 +1300,12 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_time_bucket",
-    oracle="""
+    oracle=f"""
     SELECT CAST(epoch_us(ts) - epoch_us(ts) % 21600000000 AS BIGINT) AS bucket_us,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-           CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_micros
+           CAST(sum({MONEY_MICROS_SQL("value")}) AS BIGINT) AS sum_value_micros
     FROM events
     GROUP BY bucket_us, event_type
     """,

@@ -20,13 +20,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_stream_sorter_spark.functions.numeric import MONEY_MICROS_SQL, money_micros
+from kafka_stream_sorter_spark.functions.numeric import (
+    MONEY_MICROS_SQL,
+    money_micros,
+    ts_lit as _ts,
+)
 from kafka_stream_sorter_spark.registry import query
 from kafka_stream_sorter_spark.sources.parquet import load_table
 
 
-def _ts(lit: str) -> F.Column:
-    return F.lit(lit).cast("timestamp")
 
 
 DISC_PRICE_MICROS_SQL = MONEY_MICROS_SQL("l_extendedprice * (1 - l_discount)")
@@ -606,7 +608,7 @@ def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(count(*) AS BIGINT) AS n_parts FROM pv)
     SELECT l_partkey, value_micros
     FROM pv CROSS JOIN tot
-    WHERE value_micros * n_parts * 2 > 3 * total
+    WHERE CAST(value_micros AS HUGEINT) * n_parts * 2 > 3 * CAST(total AS HUGEINT)
     """,
 )
 def tpch_q11_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -615,7 +617,10 @@ def tpch_q11_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast one-row cross join (a scalar subquery's physical form) and
     the compare stays in exact integer math (2×value×n > 3×total), so no
     fraction-of-total double appears. Scale-invariant selectivity: always
-    picks the heavy tail whatever the part count."""
+    picks the heavy tail whatever the part count. The cross-multiply runs
+    in WIDE integers — decimal(38,0) here, HUGEINT in the oracle, both
+    exact far past these magnitudes — because int64 would overflow at
+    sf10+ (value_micros ~3e12 × n_parts ~2e6 × 2 > 2^63)."""
     li = load_table(spark, sf_dir, "lineitem")
     pv = (
         li.groupBy("l_partkey")
@@ -628,9 +633,13 @@ def tpch_q11_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = pv.agg(
         F.sum("value_micros").alias("total"), F.count(F.lit(1)).alias("n_parts")
     )
+    wide = "decimal(38,0)"
     return (
         pv.join(F.broadcast(tot))
-        .filter(F.col("value_micros") * F.col("n_parts") * 2 > 3 * F.col("total"))
+        .filter(
+            F.col("value_micros").cast(wide) * F.col("n_parts").cast(wide) * 2
+            > 3 * F.col("total").cast(wide)
+        )
         .select("l_partkey", "value_micros")
     )
 

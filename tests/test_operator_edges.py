@@ -282,3 +282,46 @@ def test_ivf_kmeans_rejects_non_contiguous_seed_ids(spark):
     )
     with _pytest.raises(ValueError, match="contiguous ids"):
         ivf_kmeans_topk(emb, query_ids=[1000], n_clusters=4)
+
+
+def test_text_operators_survive_degenerate_docs(spark):
+    """Empty and single-token documents: quality_scores divided by
+    length(text)==0 and repetition_scores indexed element_at(toks, 2) on a
+    1-token array — both crashed under Spark 4's default ANSI mode until
+    guarded (round-4 review). The oracles' CASE WHEN twins yield 0 for the
+    guarded ratios."""
+    from kafka_stream_sorter_spark.operators.text import (
+        pii_scrub,
+        quality_scores,
+        repetition_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "hello"), (3, "  "), (4, "a b a b")],
+        "doc_id long, text string",
+    )
+    q = {r.doc_id: r for r in quality_scores(docs).collect()}
+    assert q[1].punct_ratio_micro == 0  # guarded, not DIVIDE_BY_ZERO
+    assert q[2].n_tokens == 1
+
+    r = {x.doc_id: x for x in repetition_scores(docs).collect()}
+    assert r[2].dup_bigram_ratio_micro == 0  # single token -> no bigrams
+    assert r[4].dup_bigram_ratio_micro == 333_333  # 3 bigrams, 2 distinct
+
+    p = {x.doc_id: x for x in pii_scrub(docs).collect()}
+    assert p[1].n_emails == 0 and p[1].n_phones == 0
+
+
+def test_pii_phone_inside_email_counted_once(spark):
+    """A phone-shaped digit run inside an email address is redacted as
+    part of the email and must NOT be counted as a phone (counts describe
+    exactly the redactions performed)."""
+    from kafka_stream_sorter_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [(1, "mail me: 555-123-4567@example.com"), (2, "call 555-123-4567")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert got[1].n_emails == 1 and got[1].n_phones == 0
+    assert got[2].n_emails == 0 and got[2].n_phones == 1
