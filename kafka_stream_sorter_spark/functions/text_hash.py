@@ -12,7 +12,8 @@ Python in the loop, fully distributed.
 
 P = 1e9+7 keeps every intermediate < 2^63 (acc < P, acc*31 + 127 < 3.3e10).
 MinHash permutations are the classic universal-hash family
-(a_i * h + b_i) mod P with fixed odd multipliers.
+(a_i * h + b_i) mod P with fixed multipliers (all the family needs is
+a_i != 0 mod P; MINHASH_A[15] happens to be even).
 """
 
 from __future__ import annotations

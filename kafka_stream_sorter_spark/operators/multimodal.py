@@ -309,7 +309,13 @@ def frame_sample_offsets(docs: DataFrame, frame_bytes: int = 1024) -> DataFrame:
     (no Python needed when the sampling rule is arithmetic)."""
     blobs = with_blob(docs)
     n_bytes = F.length("blob").cast("long")
-    offsets = F.sequence(F.lit(0).cast("long"), n_bytes - 1, F.lit(frame_bytes).cast("long"))
+    # empty-blob guard: sequence(0, -1, k) throws IllegalArgumentException,
+    # and explode of the empty array drops the row — matching the oracle's
+    # range(0, 0, k), which emits zero rows for an empty document.
+    offsets = F.when(
+        n_bytes > 0,
+        F.sequence(F.lit(0).cast("long"), n_bytes - 1, F.lit(frame_bytes).cast("long")),
+    ).otherwise(F.array().cast("array<long>"))
     return blobs.select(
         "doc_id",
         n_bytes.alias("n_bytes"),

@@ -27,9 +27,18 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+# Explicit ASCII whitespace class instead of \s: Java's \s includes
+# vertical tab \x0B, RE2's (DuckDB) does not, and Python's is
+# unicode-aware — three dialects, three answers on exotic bytes. The
+# literal below parses identically in all three (\xhh hex escapes), so
+# tokenization can never diverge on a regenerated corpus. llm.py's
+# SQL_TOKS / the udtf_tokenize splitter carry the same class.
+WS_CLASS = r" \t\n\x0B\f\r"
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (lowercased) — array<string>."""
-    return F.split(F.lower(F.trim(text)), r"\s+")
+    return F.split(F.lower(F.trim(text)), f"[{WS_CLASS}]+")
 
 
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -102,7 +111,7 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tok = F.size(toks)
     n_chars = F.length(text)
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
-    punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    punct = n_chars - F.length(F.regexp_replace(text, f"[^\\w{WS_CLASS}]", ""))
     distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
     # n_tok >= 1 always (split of '' is ['']), but n_chars CAN be 0: an
     # empty-text doc would hit DIVIDE_BY_ZERO under Spark 4's default ANSI

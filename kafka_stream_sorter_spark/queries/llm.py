@@ -17,9 +17,9 @@ from kafka_stream_sorter_spark.functions.text_hash import (
     LSH_BANDS,
     LSH_ROWS,
     MINHASH_A,
-    MINHASH_B,
     sql_band_bucket,
     sql_char_poly_hash,
+    sql_minhash,
 )
 from kafka_stream_sorter_spark.operators import dedup, multimodal, similarity, text
 from kafka_stream_sorter_spark.operators.similarity import sql_hyperplane_bucket
@@ -29,18 +29,19 @@ from kafka_stream_sorter_spark.sources.parquet import load_table
 
 # --- shared SQL fragments (DuckDB twins of operators/text.py) --------------
 
-SQL_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+# Explicit ASCII whitespace class, not \s: Java's \s includes \x0B,
+# RE2's does not — the class below parses identically in both dialects
+# (operators/text.py:WS_CLASS is the Spark-side twin).
+SQL_TOKS = r"regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+')"
 SQL_WORDS = f"list_sort(list_distinct({SQL_TOKS}))"
 # hashed twin of operators/dedup.py:_word_sets(hashed=True): distinct tokens
 # → polynomial hash each → sort — long-set intersection is the cheap path
 
 
 def _sql_poly(expr: str) -> str:
-    return (
-        f"list_reduce(list_prepend(0::BIGINT, "
-        f"list_transform(string_split({expr}, ''), c -> ascii(c)::BIGINT)), "
-        f"(a, b) -> (a * 31 + b) % 1000000007)"
-    )
+    # delegate to the canonical twin — the polynomial lives in ONE place
+    # (functions/text_hash.py) for both the Spark column and the SQL string
+    return sql_char_poly_hash(expr)
 
 
 SQL_WORD_HASHES = (
@@ -62,8 +63,7 @@ SQL_TOKEN_HASHES = f"""
 SQL_MINHASH_SIG = (
     "SELECT doc_id, "
     + ", ".join(
-        f"min((h * {a} + {b}) % 1000000007) AS mh{i}"
-        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        f"{sql_minhash(i, 'h')} AS mh{i}" for i in range(len(MINHASH_A))
     )
     + f" FROM ({SQL_TOKEN_HASHES}) GROUP BY doc_id"
 )
@@ -109,7 +109,7 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                 x -> list_contains(['the','a','of','and','is'], x))) / len(toks) * 1000000)
                 AS BIGINT) AS stopword_ratio_micro,
            CAST(CASE WHEN nc > 0
-                     THEN floor((nc - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / nc * 1000000)
+                     THEN floor((nc - length(regexp_replace(text, '[^\w \t\n\x0B\f\r]', '', 'g'))) / nc * 1000000)
                      ELSE 0 END AS BIGINT) AS punct_ratio_micro,
            CAST(floor(len(list_distinct(toks)) / len(toks) * 1000000) AS BIGINT)
                 AS distinct_ratio_micro

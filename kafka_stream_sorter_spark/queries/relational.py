@@ -1280,12 +1280,17 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, text: str):
             import re
 
-            # re.split, NOT str.split: on empty/whitespace-only text
-            # str.split() yields [] (doc emits zero rows) while the
-            # oracle's regexp_split_to_array yields [''] (one row with an
-            # empty token). re.split matches the oracle — and every other
-            # tokenizing query's F.split — exactly.
-            for i, tok in enumerate(re.split(r"\s+", text.strip().lower())[:5]):
+            # Pinned to the engines' exact semantics, not Python's:
+            # - strip(' ') — SQL trim() removes only spaces; Python's bare
+            #   strip() also eats tabs/newlines and would swallow the
+            #   leading empty token the oracle emits for '\\thello'.
+            # - the explicit ASCII class (operators/text.py:WS_CLASS), not
+            #   \\s — Python's \\s is unicode-aware, Java's includes \\x0B,
+            #   RE2's doesn't; str.split() would additionally yield [] on
+            #   empty text where regexp_split_to_array yields [''].
+            for i, tok in enumerate(
+                re.split("[ \t\n\x0b\f\r]+", text.strip(" ").lower())[:5]
+            ):
                 yield i, tok
 
     spark.udtf.register("first_tokens", FirstTokens)

@@ -38,8 +38,13 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
     read as ``TIMESTAMP``), and each silent flip broke every downstream
     ``unix_micros``/watermark call. This helper accepts all three:
 
-    * ``bigint`` named ``ts`` — legacy nanos read; integer-div to micros
-      (the same ns→µs truncation DuckDB applies).
+    * ``bigint`` where the DECLARED schema (schemas.TABLE_SCHEMAS) says
+      TimestampType — legacy nanos read; integer-div to micros (the same
+      ns→µs truncation DuckDB applies). Keyed on the declared type, not a
+      hard-coded column name: the first version matched only a column
+      literally named ``ts``, so a NANOS flip hitting o_orderdate /
+      l_shipdate would have slipped through as raw bigints and read
+      nanosecond counts as seconds downstream.
     * ``timestamp_ntz`` — cast to TIMESTAMP. Under the UTC session timezone
       (pinned here, runtime-settable) the cast interprets the wall-clock as
       UTC, matching DuckDB's naive-as-UTC ``epoch_us``.
@@ -49,12 +54,23 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
     stream can never disagree on units again.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
+    from kafka_stream_sorter_spark.schemas import TABLE_SCHEMAS
+
+    declared_ts = {
+        field.name
+        for schema in TABLE_SCHEMAS.values()
+        for field in schema.fields
+        if isinstance(field.dataType, T.TimestampType)
+    }
     df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     for col_name, dtype in df.dtypes:
-        if dtype == "bigint" and col_name == "ts":
+        if dtype == "bigint" and col_name in declared_ts:
             # integer div — float division would lose ns precision at 2^60
-            df = df.withColumn(col_name, F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn(
+                col_name, F.timestamp_micros(F.expr(f"`{col_name}` div 1000"))
+            )
         elif dtype == "timestamp_ntz":
             df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
     return df
@@ -86,6 +102,8 @@ def load_table(
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
-    """Register each fixture table as a temp view for the SQL API."""
-    for name in names or TABLE_NAMES:
+    """Register each fixture table as a temp view for the SQL API.
+    ``names=None`` means all tables; an explicit empty list registers
+    nothing (the old falsy check silently promoted [] to everything)."""
+    for name in TABLE_NAMES if names is None else names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -325,3 +325,52 @@ def test_pii_phone_inside_email_counted_once(spark):
     got = {r.doc_id: r for r in pii_scrub(docs).collect()}
     assert got[1].n_emails == 1 and got[1].n_phones == 0
     assert got[2].n_emails == 0 and got[2].n_phones == 1
+
+
+def test_frame_offsets_empty_doc_emits_no_rows(spark):
+    """Empty blob: sequence(0, -1, k) would throw; the guard drops the row
+    via explode of an empty array — matching the oracle's range(0,0,k)."""
+    from kafka_stream_sorter_spark.operators.multimodal import frame_sample_offsets
+
+    docs = spark.createDataFrame([(1, ""), (2, "x" * 2000)], "doc_id long, text string")
+    rows = frame_sample_offsets(docs).collect()
+    assert sorted(r.doc_id for r in rows) == [2, 2]
+    assert sorted(r.frame_offset for r in rows) == [0, 1024]
+
+
+def test_normalize_timestamps_covers_all_declared_ts_columns(spark):
+    """Legacy-nanos normalization keys on the DECLARED schema, not a
+    hard-coded 'ts' name: a bigint o_orderdate (a NANOS flip hitting the
+    orders table) must normalize too."""
+    from kafka_stream_sorter_spark.sources.parquet import normalize_timestamps
+
+    ns = 1_700_000_000_000_000_000  # 2023-11-14T22:13:20Z in nanos
+    df = spark.createDataFrame(
+        [(1, ns), (2, ns + 86_400 * 10**9)], "o_orderkey long, o_orderdate long"
+    )
+    out = normalize_timestamps(df)
+    assert dict(out.dtypes)["o_orderdate"] == "timestamp"
+    got = out.orderBy("o_orderkey").collect()[0].o_orderdate
+    assert got.year == 2023 and got.month == 11 and got.day == 14
+
+
+def test_tokenizer_whitespace_class_matches_duckdb_on_vertical_tab(spark):
+    """Java's \\s includes \\x0B, RE2's does not — the explicit class must
+    make Spark and DuckDB tokenize a vertical-tab document identically."""
+    import duckdb
+
+    from kafka_stream_sorter_spark.operators.text import tokens
+    from kafka_stream_sorter_spark.queries.llm import SQL_TOKS
+    from pyspark.sql import functions as F
+
+    weird = "a\x0bb c\td"
+    spark_toks = (
+        spark.createDataFrame([(weird,)], "text string")
+        .select(tokens(F.col("text")).alias("t"))
+        .collect()[0]
+        .t
+    )
+    duck_toks = duckdb.sql(
+        f"SELECT {SQL_TOKS} FROM (SELECT '{weird}' AS text)"
+    ).fetchall()[0][0]
+    assert spark_toks == duck_toks == ["a", "b", "c", "d"]
