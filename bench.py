@@ -30,7 +30,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if len(sys.argv) > 1:
         sf_dir = sys.argv[1]
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    m = re.fullmatch(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else 0.1  # never crash before the JSON line
 
     from kafka_stream_sorter_spark.registry import QUERIES
     from kafka_stream_sorter_spark.session import get_spark
@@ -55,7 +56,12 @@ def main() -> None:
     # Warm the JVM + parquet footers so per-query numbers measure the
     # queries, not first-touch overhead (the reference's timings likewise
     # exclude container startup — BASELINE.md "excl. fixed startup").
-    QUERIES["sort_numeric"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Guarded: a fixture-drift failure here must not kill the bench before
+    # the per-query loop gets to report it (r2's rc=1 regression class).
+    try:
+        QUERIES["sort_numeric"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception:  # noqa: BLE001 - the loop below reports the real error
+        pass
 
     # One failing query must never zero out the whole round's performance
     # evidence (round 2's bench died rc=1 on a single AnalysisException and
@@ -155,6 +161,12 @@ def main() -> None:
         out["ref_generate_rows_per_sec"] = int(ref_rows / max(timings["ref_produce"], 1e-9))
     if slowest_sort is not None:
         out["ref_sort_rows_per_sec"] = int(ref_rows / max(slowest_sort, 1e-9))
+    # 'value' keeps the r1-r3 convention (fixture queries + ref workload,
+    # sorts at min-of-3) for round-over-round continuity; this scalar is
+    # the registered-query sum alone, insensitive to SPARK_GRAFT_REF_ROWS.
+    out["fixture_queries_wall_sec"] = round(
+        sum(v for k, v in timings.items() if not k.startswith("ref_")), 3
+    )
     out["unit"] = "sec"
     out["value"] = total
     line = json.dumps(out)

@@ -121,46 +121,75 @@ def cmd_sort(args) -> None:
         records_to_csv_dir(ordered, args.out)
     else:
         ordered.write.mode("overwrite").parquet(args.out)
-    n = spark.read.parquet(args.out).count() if not dst_kafka and args.format != "csv" else None
+    # dt is the sort+write time only — the row count below is a separate
+    # verification read and must not inflate the reported figure.
     dt = time.perf_counter() - t0
+    n = spark.read.parquet(args.out).count() if not dst_kafka and args.format != "csv" else None
     suffix = f", {n} rows" if n is not None else ""
     print(f"[sort:{args.key}] {args.infile} -> {args.out} in {dt:.1f}s{suffix}")
 
 
+def _read_records(spark, path: str, fmt: str):
+    """Read a produce/sort output in either on-disk format (the validate
+    twin of cmd_sort's writer dispatch)."""
+    if fmt == "csv":
+        from kafka_stream_sorter_spark.sources.generator import parse_csv_lines
+
+        return parse_csv_lines(spark.read.text(path))
+    return spark.read.parquet(path)
+
+
 def cmd_validate(args) -> None:
     """≙ the reference's test_validation.sh: assert the output is totally
-    ordered by the key and conserves the input row count."""
+    ordered by the key and conserves the input row count. ``--format csv``
+    validates the CSV wire outputs cmd_sort writes (the reference's
+    test_validation.sh validated exactly that format)."""
     from kafka_stream_sorter_spark.validate import assert_count_conserved, assert_sorted
 
     spark = _session(args)
-    src = spark.read.parquet(args.infile)
-    out = spark.read.parquet(args.out)
+    src = _read_records(spark, args.infile, args.format)
+    out = _read_records(spark, args.out, args.format)
     assert_sorted(out, args.key)
     assert_count_conserved(src, out)
     print(f"[validate:{args.key}] OK — ordered and count-conserved ({out.count()} rows)")
 
 
 def main(argv: list[str] | None = None) -> None:
-    p = argparse.ArgumentParser(prog="kafka_stream_sorter_spark")
-    p.add_argument("--ui", action="store_true", help="enable the Spark UI (≙ pprof, op #19)")
+    # --ui lives on a parent parser so both positions parse:
+    #   cli --ui sort ...   and   cli sort ... --ui
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument(
+        "--ui", action="store_true", help="enable the Spark UI (≙ pprof, op #19)"
+    )
+    p = argparse.ArgumentParser(prog="kafka_stream_sorter_spark", parents=[common])
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    pp = sub.add_parser("produce", help="generate reference-shaped records (≙ ./producer)")
+    pp = sub.add_parser(
+        "produce", parents=[common],
+        help="generate reference-shaped records (≙ ./producer)",
+    )
     pp.add_argument("--rows", type=int, default=50_000_000)
     pp.add_argument("--seed", type=int, default=42)
     pp.add_argument("--out", required=True, help="path or kafka://host:port/topic")
     pp.add_argument("--format", choices=["parquet", "csv"], default="parquet")
 
-    ps = sub.add_parser("sort", help="total-order sort by key (≙ ./sorter <key>)")
+    ps = sub.add_parser(
+        "sort", parents=[common],
+        help="total-order sort by key (≙ ./sorter <key>)",
+    )
     ps.add_argument("--key", required=True, help="id | name | continent")
     ps.add_argument("--in", dest="infile", required=True)
     ps.add_argument("--out", required=True)
     ps.add_argument("--format", choices=["parquet", "csv"], default="parquet")
 
-    pv = sub.add_parser("validate", help="assert sorted + count-conserved (≙ test_validation.sh)")
+    pv = sub.add_parser(
+        "validate", parents=[common],
+        help="assert sorted + count-conserved (≙ test_validation.sh)",
+    )
     pv.add_argument("--key", required=True)
     pv.add_argument("--in", dest="infile", required=True)
     pv.add_argument("--out", required=True)
+    pv.add_argument("--format", choices=["parquet", "csv"], default="parquet")
 
     args = p.parse_args(argv)
     {"produce": cmd_produce, "sort": cmd_sort, "validate": cmd_validate}[args.cmd](args)

@@ -27,12 +27,21 @@ from kafka_stream_sorter_spark.streaming import ops
 
 SUM_MICROS_SQL = "CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)"
 
+# Bounded AvailableNow drains replay the fixture's files in event_id order,
+# so event TIME interleaves arbitrarily across micro-batches: after batch 1
+# the watermark clock sits near the corpus' max(ts), and any real lateness
+# bound silently drops most of batch 2+ — diverging from the batch oracle,
+# which tolerates zero drops. The production knob is the lateness SLA; on a
+# bounded replay of time-unordered files it must exceed the replayed span.
+# (State still evicts through the same watermark machinery — just later.)
+DRAIN_WATERMARK = "3650 days"
+
 
 @query(
     "stream_window_tumbling",
     oracle=f"""
-    SELECT date_trunc('day', ts)                  AS win_start,
-           date_trunc('day', ts) + INTERVAL 1 DAY AS win_end,
+    SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS win_start_us,
+           CAST(epoch_us(date_trunc('day', ts) + INTERVAL 1 DAY) AS BIGINT) AS win_end_us,
            event_type,
            CAST(count(*) AS BIGINT)               AS n_events,
            {SUM_MICROS_SQL}                       AS sum_value_micros
@@ -41,19 +50,21 @@ SUM_MICROS_SQL = "CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGI
     """,
 )
 def stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time tumbling window (1 day) per event_type with a 1-hour
-    watermark, drained AvailableNow — streaming/ops.py."""
+    """Event-time tumbling window (1 day) per event_type, drained
+    AvailableNow (watermark: DRAIN_WATERMARK rationale above) —
+    streaming/ops.py. Window bounds emit as epoch micros, never raw
+    timestamps (CLAUDE.md hard-won rule)."""
     sdf = (
         ops.stream_events(spark, sf_dir)
-        .withWatermark("ts", "1 hour")
+        .withWatermark("ts", DRAIN_WATERMARK)
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(money_micros(F.col("value"))).alias("sum_value_micros"),
         )
         .select(
-            F.col("w.start").alias("win_start"),
-            F.col("w.end").alias("win_end"),
+            epoch_us(F.col("w.start")).alias("win_start_us"),
+            epoch_us(F.col("w.end")).alias("win_end_us"),
             "event_type",
             "n_events",
             "sum_value_micros",
@@ -65,8 +76,8 @@ def stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_window_sliding",
     oracle="""
-    SELECT date_trunc('day', ts) - k.k * INTERVAL 1 DAY                  AS win_start,
-           date_trunc('day', ts) - k.k * INTERVAL 1 DAY + INTERVAL 2 DAY AS win_end,
+    SELECT CAST(epoch_us(date_trunc('day', ts) - k.k * INTERVAL 1 DAY) AS BIGINT) AS win_start_us,
+           CAST(epoch_us(date_trunc('day', ts) - k.k * INTERVAL 1 DAY + INTERVAL 2 DAY) AS BIGINT) AS win_end_us,
            event_type,
            CAST(count(*) AS BIGINT)                                      AS n_events
     FROM events, (SELECT unnest([0, 1]) AS k) k
@@ -78,12 +89,12 @@ def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands in two overlapping windows."""
     sdf = (
         ops.stream_events(spark, sf_dir)
-        .withWatermark("ts", "1 hour")
+        .withWatermark("ts", DRAIN_WATERMARK)
         .groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
-            F.col("w.start").alias("win_start"),
-            F.col("w.end").alias("win_end"),
+            epoch_us(F.col("w.start")).alias("win_start_us"),
+            epoch_us(F.col("w.end")).alias("win_end_us"),
             "event_type",
             "n_events",
         )
@@ -108,8 +119,8 @@ def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM flagged
     )
     SELECT user_id,
-           min(ts)                   AS session_start,
-           max(ts) + INTERVAL 1 HOUR AS session_end,
+           CAST(epoch_us(min(ts)) AS BIGINT)                   AS session_start_us,
+           CAST(epoch_us(max(ts) + INTERVAL 1 HOUR) AS BIGINT) AS session_end_us,
            CAST(count(*) AS BIGINT)  AS n_events
     FROM numbered
     GROUP BY user_id, sid
@@ -121,13 +132,13 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_window semantics, mirrored in the oracle)."""
     sdf = (
         ops.stream_events(spark, sf_dir)
-        .withWatermark("ts", "1 hour")
+        .withWatermark("ts", DRAIN_WATERMARK)
         .groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            epoch_us(F.col("w.start")).alias("session_start_us"),
+            epoch_us(F.col("w.end")).alias("session_end_us"),
             "n_events",
         )
     )
@@ -146,7 +157,7 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     which row arrives first is racy, the key set is not."""
     sdf = (
         ops.stream_events(spark, sf_dir)
-        .withWatermark("ts", "1 hour")
+        .withWatermark("ts", DRAIN_WATERMARK)
         .dropDuplicates(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
@@ -180,7 +191,7 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_sorted_drain",
-    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    oracle="SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id, event_type, value, props FROM events",
 )
 def stream_sorted_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's flagship as a stream job: drain the bounded stream,
@@ -188,7 +199,15 @@ def stream_sorted_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-disjoint sorted files) — streaming/ops.py:drain_sorted. The oracle
     checks content conservation (count + values); ordering itself is
     asserted by tests/test_streaming.py via the sort keys."""
-    return ops.drain_sorted(ops.stream_events(spark, sf_dir), ["event_id"])
+    drained = ops.drain_sorted(ops.stream_events(spark, sf_dir), ["event_id"])
+    return drained.select(
+        "event_id",
+        epoch_us(F.col("ts")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
 
 
 @query(
@@ -246,7 +265,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("view_id"),
             F.col("ts").alias("view_ts"),
         )
-        .withWatermark("view_ts", "1 hour")
+        .withWatermark("view_ts", DRAIN_WATERMARK)
     )
     clicks = (
         ev.filter(F.col("event_type") == "click")
@@ -255,7 +274,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("click_id"),
             F.col("ts").alias("click_ts"),
         )
-        .withWatermark("click_ts", "1 hour")
+        .withWatermark("click_ts", DRAIN_WATERMARK)
     )
     joined = views.join(
         clicks,

@@ -58,7 +58,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.shuffle.spill.compress", "true")
         # Bound single-partition scan size so a 100 TB table still splits
         # into executor-memory-sized tasks (default 128m kept explicit).
         .config("spark.sql.files.maxPartitionBytes", "134217728")

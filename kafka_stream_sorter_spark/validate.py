@@ -61,7 +61,14 @@ def count_violations(
         df.select(F.struct(*[F.col(k) for k in keys]).alias("k"))
         .withColumn("_pos", F.monotonically_increasing_id())
         .withColumn("_pid", F.spark_partition_id())
-        .withColumn("_file", F.input_file_name())
+        .withColumn(
+            "_file",
+            # Strict mode checks PRODUCED row order, where a file joint
+            # inside a packed partition IS an adjacency to verify — so the
+            # run stays the whole partition there. Merge mode treats each
+            # file as its own internally-sorted run.
+            F.input_file_name() if allow_run_merge else F.lit(""),
+        )
         .persist()  # two passes (within + boundaries) must see one ordering
     )
     try:

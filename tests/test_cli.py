@@ -36,6 +36,9 @@ def test_produce_sort_csv_wire_format(spark, tmp_path):
     from kafka_stream_sorter_spark.validate import assert_sorted
 
     assert_sorted(spark.read.text(dst).select(F.split("value", ",")[1].alias("k")), "k")
+    # the validate subcommand handles the CSV wire format too (round-4
+    # review: it was parquet-only while sort/produce both wrote CSV)
+    cli.main(["validate", "--key", "name", "--format", "csv", "--in", src, "--out", dst])
 
 
 def test_sort_rejects_bad_key(tmp_path):

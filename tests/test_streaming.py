@@ -52,7 +52,7 @@ def test_session_windows_respect_gap(spark, sf_dir):
     got = QUERIES["stream_session_window"](spark, sf_dir)
     # every session spans >= gap (end = last event + 1h) and counts >= 1
     bad = got.filter(
-        (F.col("session_end") < F.col("session_start") + F.expr("INTERVAL 1 HOUR"))
+        (F.col("session_end_us") < F.col("session_start_us") + F.lit(3_600_000_000))
         | (F.col("n_events") < 1)
     )
     assert bad.count() == 0
