@@ -86,12 +86,20 @@ def stream_events(spark, sf_dir: str) -> DataFrame:
     # Needed when the fixture stores TIMESTAMP(NANOS); harmless otherwise.
     # Runtime-settable, so set it here for vanilla (non-get_spark) sessions.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    file_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    raw = (
-        spark.readStream.schema(file_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = table_path(sf_dir, "events")
+    file_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        # events.parquet shipped as a DIRECTORY of part files (the common
+        # parquet layout): stream the directory itself. The single-file
+        # glob below would match nothing — pathGlobFilter matches file
+        # names — and every streaming query would silently drain empty.
+        raw = spark.readStream.schema(file_schema).parquet(path)
+    else:
+        raw = (
+            spark.readStream.schema(file_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return normalize_timestamps(raw)
 
 

@@ -331,3 +331,21 @@ def test_drains_survive_empty_stream(spark, tmp_path):
     assert sorted_out.columns == ["event_id", "user_id", "value"]
     assert drain_topk(empty, 5, [F.col("value").desc()], ["event_id"]).count() == 0
     assert cdc_latest(empty, ["user_id"], ["event_id"]).count() == 0
+
+
+def test_stream_events_handles_directory_fixture(spark, sf_dir, tmp_path):
+    """If the driver ever ships events.parquet as a DIRECTORY of part
+    files (the common parquet layout), stream_events must stream it — the
+    single-file pathGlobFilter would match nothing and every streaming
+    query would silently drain empty."""
+    from kafka_stream_sorter_spark.sources.parquet import load_table
+    from kafka_stream_sorter_spark.streaming.ops import drain_to_table, stream_events
+
+    fake_sf = tmp_path / "sfdir"
+    fake_sf.mkdir()
+    ev = load_table(spark, sf_dir, "events")
+    ev.limit(500).repartition(3).write.parquet(str(fake_sf / "events.parquet"))
+
+    sdf = stream_events(spark, str(fake_sf)).groupBy("event_type").count()
+    got = drain_to_table(sdf, "complete")
+    assert got.agg(F.sum("count")).collect()[0][0] == 500
