@@ -156,7 +156,8 @@ def _reorder() -> None:
     missing = [n for n in _PRIORITY if n not in QUERIES]
     if missing:
         raise ValueError(f"_PRIORITY names unknown queries: {missing}")
-    order = _PRIORITY + [n for n in QUERIES if n not in set(_PRIORITY)]
+    prio = set(_PRIORITY)
+    order = _PRIORITY + [n for n in QUERIES if n not in prio]
     for n in order:
         QUERIES[n] = QUERIES.pop(n)
         if n in ORACLES:

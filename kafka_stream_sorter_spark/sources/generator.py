@@ -124,10 +124,14 @@ def parse_csv_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
     commas, so a plain split is exact. Catalyst prunes unused fields, which
     subsumes the reference's parse-only-the-key optimization.
     """
+    from kafka_stream_sorter_spark.schemas import KAFKA_RECORD
+
     parts = F.split(F.col(value_col), ",")
+    # field order and types come from the declared record schema — the one
+    # place the reference's positional CSV layout is written down
     return lines.select(
-        parts.getItem(0).cast("int").alias("id"),
-        parts.getItem(1).alias("name"),
-        parts.getItem(2).alias("address"),
-        parts.getItem(3).alias("continent"),
+        *[
+            parts.getItem(i).cast(f.dataType).alias(f.name)
+            for i, f in enumerate(KAFKA_RECORD.fields)
+        ]
     )

@@ -62,8 +62,16 @@ def main() -> int:
                 status += " (EMPTY!)"
             print(f"  {name:28s} {status}  [{time.time()-t0:.1f}s]")
             continue
-        duck_pdf = con.execute(oracles[name]).fetchdf()
-        problems = compare_frames(spark_pdf, duck_pdf)
+        try:
+            duck_pdf = con.execute(oracles[name]).fetchdf()
+            problems = compare_frames(spark_pdf, duck_pdf)
+        except Exception as e:  # noqa: BLE001 - one bad oracle/compare must
+            # not abort the harness before the remaining queries run and the
+            # final FAIL/ALL MATCH line prints (Spark errors are already
+            # caught above; this closes the same hole on the oracle side)
+            failures.append(name)
+            print(f"  {name:28s} ORACLE/COMPARE ERROR: {e}")
+            continue
         if problems:
             failures.append(name)
             print(f"  {name:28s} MISMATCH: {'; '.join(problems)}")

@@ -3,7 +3,6 @@ from __future__ import annotations
 import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
-SF_DIR_T2 = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
@@ -17,3 +16,14 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def duck(sf_dir):
+    """Shared DuckDB connection with fixture views — one connect + view
+    registration for the whole parity suite instead of one per test."""
+    from .oracle_utils import duck_connect
+
+    con = duck_connect(sf_dir)
+    yield con
+    con.close()

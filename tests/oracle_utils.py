@@ -26,12 +26,18 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# NULL sentinel for object columns: contains NUL bytes so no genuine query
+# output string (parquet text, redaction tokens like '<NULL>', ...) can
+# collide with it and mask a real NULL-vs-string difference.
+NULL_SENTINEL = "\x00<NULL>\x00"
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].map(
-                lambda v: "<NULL>"
+                lambda v: NULL_SENTINEL
                 if v is None or (isinstance(v, float) and math.isnan(v))
                 else str(v)
             )
@@ -55,8 +61,28 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, rel_tol: flo
             # column (None → NaN via astype, matching the old float(x) path)
             import numpy as np
 
-            fa = av.astype("float64").to_numpy()
-            fb = bv.astype("float64").to_numpy()
+            def as_float(v):
+                """Object columns reach here when the OTHER side is float
+                (e.g. a NULL forced one side to object): nulls become NaN,
+                numeric strings convert, and anything non-numeric is
+                reported as a mismatch instead of crashing astype."""
+                if v.dtype.kind == "f":
+                    return v.to_numpy(dtype="float64"), np.zeros(len(v), bool)
+                num = pd.to_numeric(v.replace(NULL_SENTINEL, np.nan), errors="coerce")
+                coerce_fail = (
+                    num.isna().to_numpy()
+                    & v.notna().to_numpy()
+                    & (v != NULL_SENTINEL).to_numpy()
+                )
+                return num.astype("float64").to_numpy(), coerce_fail
+
+            fa, fail_a = as_float(av)
+            fb, fail_b = as_float(bv)
+            unconvertible = int((fail_a | fail_b).sum())
+            if unconvertible:
+                problems.append(
+                    f"column {c}: {unconvertible} non-numeric values in a float compare"
+                )
             not_both_nan = ~(np.isnan(fa) & np.isnan(fb))
             neq = fa != fb
             # symmetric tolerance (|a-b| <= rtol*max(|a|,|b|)), matching the
@@ -82,19 +108,28 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, rel_tol: flo
             if exact_bad and not bad:
                 problems.append(f"column {c}: {exact_bad} values differ in exact bits (round on both sides!)")
         else:
-            neq = (av.astype(str) != bv.astype(str)).sum()
+            mask = av.astype(str) != bv.astype(str)
+            neq = mask.sum()
             if neq:
-                idx = (av.astype(str) != bv.astype(str)).idxmax()
+                idx = mask.idxmax()
                 problems.append(f"column {c}: {neq} mismatches, first at row {idx}: spark={av[idx]!r} duck={bv[idx]!r}")
     return problems
 
 
-def run_parity(spark, sf_dir: str, name: str) -> list[str]:
+def run_parity(spark, sf_dir: str, name: str, con=None) -> list[str]:
+    """``con``: pass a shared duck_connect(sf_dir) connection to skip the
+    per-call connect + 10 CREATE VIEWs (the parametrized parity suite runs
+    ~120 of these)."""
     from kafka_stream_sorter_spark.registry import ORACLES, QUERIES
 
     sdf = QUERIES[name](spark, sf_dir)
     spark_pdf = sdf.toPandas()
-    con = duck_connect(sf_dir)
-    duck_pdf = con.execute(ORACLES[name]).fetchdf()
-    con.close()
+    own = con is None
+    if own:
+        con = duck_connect(sf_dir)
+    try:
+        duck_pdf = con.execute(ORACLES[name]).fetchdf()
+    finally:
+        if own:
+            con.close()
     return compare_frames(spark_pdf, duck_pdf)

@@ -11,6 +11,6 @@ from .oracle_utils import run_parity
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
-def test_query_matches_oracle(spark, sf_dir, name):
-    problems = run_parity(spark, sf_dir, name)
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    problems = run_parity(spark, sf_dir, name, con=duck)
     assert not problems, f"{name}: " + "; ".join(problems)
