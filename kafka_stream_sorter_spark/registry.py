@@ -104,13 +104,16 @@ _PRIORITY: list[str] = [
     "stream_topk",  # at-least-once candidate dedup (ADVICE r3)
     "csv_file_roundtrip",  # per-session scratch dir (ADVICE r3)
     "jsonl_file_roundtrip",  # per-session scratch dir (ADVICE r3)
+    # (c') SCHEMA changed late in r4 (window/session bounds -> epoch ints,
+    # sorted drain ts -> ts_us, per the timestamp-emission rule; plus the
+    # DRAIN_WATERMARK widening) — changed code outranks unchanged r2 greens
+    "stream_window_tumbling",
+    "stream_window_sliding",
+    "stream_session_window",
+    "stream_sorted_drain",
     # (d) oldest remaining greens (r2-only), registry order (18)
     "dedup_exact",
-    "sample_hash_split",
-    "sample_stratified",
-    "window_rank",
     "window_analytic",
-    "set_except",
     "agg_quantiles",
     "agg_approx_distinct",
     "agg_grouping_sets",
@@ -125,6 +128,10 @@ _PRIORITY: list[str] = [
     "sort_multikey_nulls",
     # --- first 50 ends here (driver prefix boundary) ---
     # r2-only greens that didn't fit — the head of the r5 rotation
+    "sample_hash_split",
+    "sample_stratified",
+    "window_rank",
+    "set_except",
     "csv_wire_roundtrip",
     "stream_dedup_keys",
     "stream_stateful_user_stats",
