@@ -11,7 +11,24 @@ Determinism rules applied throughout (see ``queries/`` modules):
 * floating-point results of arithmetic are ``round``-ed the same way on
   both sides (raw stored doubles pass through unrounded — same bits);
 * timestamps are emitted as formatted strings, dates, or extracted ints,
-  never raw, to dodge session-timezone representation drift.
+  never raw, to dodge session-timezone representation drift;
+* **hash-safe float emission** (r4 verdict item 8): never emit round()
+  — or any quantization — of a value whose computation is not
+  merge-order-invariant. Spark's float partial-aggregate merge follows
+  shuffle-block fetch order, so a single-pass float aggregate can land a
+  different last ulp on every run; quantizing it bakes a coin-flip into
+  the hashed digits whenever a group sits near a grid boundary (the
+  4-rounds-red ``udf_grouped_regression``). Sanctioned patterns: (a)
+  make the aggregation exact — integer/decimal sums, associative under
+  any merge order — then derive floats from the exact stats with the
+  same IEEE expression on both sides and quantize via
+  ``floor(v*1e4+0.5)/1e4`` (never engine ``round()``: Spark rounds the
+  shortest-decimal string, DuckDB the binary value) — see
+  ``queries/llm.py:_REGR_ORACLE``; (b) emit rank-only contracts where
+  only ordering is meaningful (``ann_vectorized``,
+  operators/similarity.py); (c) emit accuracy-bound booleans for
+  approximate aggregates (``agg_approx_distinct``,
+  ``agg_quantiles_approx``). Enforced by tests/test_float_determinism.py.
 """
 
 from __future__ import annotations
@@ -55,79 +72,21 @@ from kafka_stream_sorter_spark.queries import (  # noqa: E402,F401
 # Registration-order priority.
 #
 # External harnesses iterate ``queries()`` in insertion order and check only
-# a prefix of it (every round so far: the first 50). Round-4 rotation, by
-# attestation age and code churn (r3 verdict, next-round item 2):
-# (a) the one never-green query — udf_grouped_regression, whose float-
-# determinism fix (REGR_X_ORIGIN_US shift) lands this round — plus its
-# pandas twin, which shares the changed x-axis; (b) every query whose only
-# driver green predates the r2 timestamp-normalizer rewrite (r1-only
-# attestations, 27 incl. the two multimodal queries whose decode became a
-# real PNG codec this round); (c) r3-green queries whose CODE changed this
-# round (stream_topk read-side dedup, file round-trips' per-session scratch
-# path); (d) fill to 50 with the oldest remaining greens (r2-only), in
-# registry order. r2-only queries that don't fit (csv_wire_roundtrip, the
-# stream_* state ops, 19 TPC-H shapes) are pre-staged right after the
-# marker for the r5 rotation — after r5, nothing is older than two rounds.
+# a prefix of it (every round so far: the first 50). Round-5 rotation
+# (r4 verdict, next-round item 3), by attestation age and code churn:
+# (a) the regression pair — its contract was REWRITTEN this round
+# (merge-order-invariant integer co-moments, see queries/llm.py
+# _REGR_ORACLE), so changed code outranks everything; (b) the 28 queries
+# whose newest driver green is r2 (pre-staged for exactly this rotation
+# by r4); (c) fill to 50 with the 20 oldest r3-attested greens, in their
+# r3-check order. The remaining 21 r3-attested greens are pre-staged
+# right after the marker as the r6 rotation head — at r5 their
+# attestation is two rounds old, the rotation's steady-state maximum.
 _PRIORITY: list[str] = [
-    # (a) regression pair — the never-green query and its changed twin
+    # (a) regression pair — contract rewritten r5 (exact BIGINT co-moments)
     "udf_grouped_regression",
     "udf_grouped_regression_pandas",
-    # (b) r1-only attestations (27) — multimodal first (code changed r4)
-    "multimodal_meta",
-    "multimodal_resize",
-    "multimodal_byte_hist",
-    "multimodal_frames",
-    "dedup_jaccard",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_sig",
-    "dedup_minhash_lsh",
-    "dedup_minhash_groups",
-    "dedup_simhash",
-    "dedup_connected_groups",
-    "dedup_embedding",
-    "ann_bruteforce",
-    "ann_vectorized",
-    "ann_ivf_blocked",
-    "ann_lsh_hyperplane",
-    "ann_knn_join",
-    "text_tokens",
-    "text_quality",
-    "text_langid",
-    "text_bpe_tokens",
-    "text_token_freq",
-    "text_repetition",
-    "text_pii_scrub",
-    "text_chunk_windows",
-    "doc_fingerprint",
-    "pipeline_quality_dedup_split",
-    # (c) r3-green but code changed in r4
-    "stream_topk",  # at-least-once candidate dedup (ADVICE r3)
-    "csv_file_roundtrip",  # per-session scratch dir (ADVICE r3)
-    "jsonl_file_roundtrip",  # per-session scratch dir (ADVICE r3)
-    # (c') SCHEMA changed late in r4 (window/session bounds -> epoch ints,
-    # sorted drain ts -> ts_us, per the timestamp-emission rule; plus the
-    # DRAIN_WATERMARK widening) — changed code outranks unchanged r2 greens
-    "stream_window_tumbling",
-    "stream_window_sliding",
-    "stream_session_window",
-    "stream_sorted_drain",
-    # (d) oldest remaining greens (r2-only), registry order (18)
-    "dedup_exact",
-    "window_analytic",
-    "agg_quantiles",
-    "agg_approx_distinct",
-    "agg_grouping_sets",
-    "join_left_outer",
-    "join_full_outer",
-    "join_null_safe",
-    "sort_numeric",
-    "sort_lexicographic",
-    "sort_low_cardinality",
-    "keyed_fanout",
-    "topk",
-    "sort_multikey_nulls",
-    # --- first 50 ends here (driver prefix boundary) ---
-    # r2-only greens that didn't fit — the head of the r5 rotation
+    # (b) r2-only attestations (28)
     "sample_hash_split",
     "sample_stratified",
     "window_rank",
@@ -156,6 +115,50 @@ _PRIORITY: list[str] = [
     "tpch_q20_excess_share",
     "tpch_q21_waiting",
     "tpch_q22_idle_balance",
+    # (c) oldest r3-attested greens (20), r3-check order
+    "window_sessionize",
+    "window_range_frame",
+    "window_distribution",
+    "topk_paged",
+    "agg_histogram",
+    "agg_salted_skew",
+    "scalar_string",
+    "scalar_date",
+    "scalar_math",
+    "scalar_json",
+    "scalar_array_struct",
+    "udf_scalar_pandas",
+    "udtf_tokenize",
+    "unpivot_melt",
+    "sql_interface",
+    "ann_ivf_kmeans",
+    "ann_lsh_multiprobe",
+    "agg_time_bucket",
+    "join_fuzzy_levenshtein",
+    "agg_quantiles_approx",
+    # --- first 50 ends here (driver prefix boundary) ---
+    # remaining r3-attested greens (21) — the head of the r6 rotation
+    "join_interval_overlap",
+    "join_asof",
+    "join_interval_bucketed",
+    "stream_stream_interval_join",
+    "filter_project",
+    "agg_tpch_q1",
+    "tpch_q6",
+    "tpch_q3_topk",
+    "join_broadcast",
+    "join_sortmerge",
+    "join_multiway",
+    "join_semi",
+    "join_anti",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_stats",
+    "agg_pivot",
+    "set_union",
+    "set_intersect",
+    "dedup_exact_hash",
 ]
 
 
