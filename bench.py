@@ -58,10 +58,14 @@ def main() -> None:
     # exclude container startup — BASELINE.md "excl. fixed startup").
     # Guarded: a fixture-drift failure here must not kill the bench before
     # the per-query loop gets to report it (r2's rc=1 regression class).
+    warmup_error = None
     try:
         QUERIES["sort_numeric"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    except Exception:  # noqa: BLE001 - the loop below reports the real error
-        pass
+    except Exception as exc:  # noqa: BLE001 - the loop below reports the real
+        # error; record the marker so a cold-measured round (per-query
+        # timings that include first-touch JVM/footer overhead) is
+        # distinguishable in the emitted JSON (r4 ADVICE)
+        warmup_error = repr(exc)[:300]
 
     # One failing query must never zero out the whole round's performance
     # evidence (round 2's bench died rc=1 on a single AnalysisException and
@@ -78,6 +82,26 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - survive, report, continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # Noise adjudication for the expensive fixture queries (r4 verdict,
+    # next-round item 5): single-shot timings on this shared VM carry
+    # documented 3-4x noise, which made r3→r4 per-query comparison nearly
+    # useless exactly where it matters (the slow queries). Re-run the 10
+    # slowest twice more and publish min-of-3 as ``queries_min`` — the
+    # minimum is the standard noise-robust estimate of what the machine
+    # can do; the single-shot dict stays for continuity.
+    _SLOW_N, _RERUNS = 10, 2
+    queries_min: dict[str, float] = {}
+    for name in sorted(timings, key=timings.get, reverse=True)[:_SLOW_N]:
+        best = timings[name]
+        for _ in range(_RERUNS):
+            t0 = time.perf_counter()
+            try:
+                QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception:  # noqa: BLE001 - keep the single-shot number
+                break
+            best = min(best, time.perf_counter() - t0)
+        queries_min[name] = round(best, 3)
+
     # Reference-shaped workload ≙ the reference's whole pipeline at 1/10
     # scale: producer (seeded CSV-row generation, BASELINE.md 60-70k rows/s)
     # then three sequential total-order sorters over the materialized table
@@ -91,10 +115,15 @@ def main() -> None:
     ref_rows = int(os.environ.get("SPARK_GRAFT_REF_ROWS", "5000000"))
     tmp = tempfile.mkdtemp(prefix="ref_workload_")
     try:
-        t0 = time.perf_counter()
-        with jit_friendly_codegen(spark):
-            reference_records(spark, ref_rows).write.mode("overwrite").parquet(tmp)
-        timings["ref_produce"] = round(time.perf_counter() - t0, 3)
+        # min-of-2: generation throughput is a headline rate (BASELINE.md
+        # 60-70k rows/s) and deserves the same noise guard as the sorts
+        produce_runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            with jit_friendly_codegen(spark):
+                reference_records(spark, ref_rows).write.mode("overwrite").parquet(tmp)
+            produce_runs.append(time.perf_counter() - t0)
+        timings["ref_produce"] = round(min(produce_runs), 3)
         src = spark.read.parquet(tmp)
         # continent carries a tie-break: range-partitioning a 6-value key
         # alone puts each key's ties in ONE partition (≤6 of 32 tasks do all
@@ -154,7 +183,13 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    if warmup_error is not None:
+        out["warmup_error"] = warmup_error
     out["queries"] = dict(sorted(timings.items(), key=lambda kv: kv[1]))
+    # repeat-count metadata + the min-of-3 re-measurements of the slowest
+    # queries, tail-positioned so driver truncation keeps them
+    out["repeats"] = {"slowest_queries": 1 + _RERUNS, "ref_sorts": 3, "ref_produce": 2}
+    out["queries_min"] = dict(sorted(queries_min.items(), key=lambda kv: kv[1]))
     out["load_avg_at_start"] = load_avg
     out["calib_matmul_sec"] = calib_sec
     if "ref_produce" in timings:

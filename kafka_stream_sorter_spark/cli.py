@@ -154,14 +154,24 @@ def cmd_validate(args) -> None:
     print(f"[validate:{args.key}] OK — ordered and count-conserved ({out.count()} rows)")
 
 
-def main(argv: list[str] | None = None) -> None:
-    # --ui lives on a parent parser so both positions parse:
+def build_parser() -> argparse.ArgumentParser:
+    # --ui parses in both positions:
     #   cli --ui sort ...   and   cli sort ... --ui
+    # The top-level copy defaults False; the subparser copies default to
+    # SUPPRESS — argparse copies every subparser result back over the
+    # main namespace, so a plain store_true default False on the
+    # subparser would silently erase a pre-subcommand --ui (r4 ADVICE).
     common = argparse.ArgumentParser(add_help=False)
     common.add_argument(
+        "--ui",
+        action="store_true",
+        default=argparse.SUPPRESS,
+        help="enable the Spark UI (≙ pprof, op #19)",
+    )
+    p = argparse.ArgumentParser(prog="kafka_stream_sorter_spark")
+    p.add_argument(
         "--ui", action="store_true", help="enable the Spark UI (≙ pprof, op #19)"
     )
-    p = argparse.ArgumentParser(prog="kafka_stream_sorter_spark", parents=[common])
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pp = sub.add_parser(
@@ -191,7 +201,11 @@ def main(argv: list[str] | None = None) -> None:
     pv.add_argument("--out", required=True)
     pv.add_argument("--format", choices=["parquet", "csv"], default="parquet")
 
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
     {"produce": cmd_produce, "sort": cmd_sort, "validate": cmd_validate}[args.cmd](args)
 
 

@@ -66,7 +66,7 @@ def read_table_csv(spark: SparkSession, path: str, table: str) -> DataFrame:
     reader = spark.read.schema(TABLE_SCHEMAS[table])
     for k, v in _CSV_OPTIONS.items():
         reader = reader.option(k, v)
-    return normalize_timestamps(reader.csv(path))
+    return normalize_timestamps(reader.csv(path), table=table)
 
 
 def write_table_jsonl(df: DataFrame, path: str) -> None:
@@ -81,4 +81,4 @@ def read_table_jsonl(spark: SparkSession, path: str, table: str) -> DataFrame:
     reader = spark.read.schema(TABLE_SCHEMAS[table])
     for k, v in _COMMON_OPTIONS.items():
         reader = reader.option(k, v)
-    return normalize_timestamps(reader.json(path))
+    return normalize_timestamps(reader.json(path), table=table)

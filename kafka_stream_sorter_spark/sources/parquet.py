@@ -28,7 +28,7 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def normalize_timestamps(df: DataFrame) -> DataFrame:
+def normalize_timestamps(df: DataFrame, table: str | None = None) -> DataFrame:
     """Normalize every timestamp-ish column to plain ``TimestampType`` under
     the UTC session timezone — the engine's single timestamp world.
 
@@ -58,9 +58,16 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
 
     from kafka_stream_sorter_spark.schemas import TABLE_SCHEMAS
 
+    # ``table`` narrows the nanos conversion to THAT table's declared
+    # schema. The global union is only the fallback for table-less frames
+    # (synthetic test inputs): under the union, a future table adding a
+    # legitimate bigint column that merely shares a name with some other
+    # table's timestamp (e.g. ``ts``) would be silently ns-divided
+    # (r4 ADVICE). Every production caller passes its table name.
+    schemas = [TABLE_SCHEMAS[table]] if table is not None else TABLE_SCHEMAS.values()
     declared_ts = {
         field.name
-        for schema in TABLE_SCHEMAS.values()
+        for schema in schemas
         for field in schema.fields
         if isinstance(field.dataType, T.TimestampType)
     }
@@ -98,7 +105,7 @@ def load_table(
     df = spark.read.parquet(table_path(sf_dir, name))
     if rebalance:
         df = df.repartition(spark.sparkContext.defaultParallelism)
-    return normalize_timestamps(df)
+    return normalize_timestamps(df, table=name)
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:

@@ -100,7 +100,7 @@ def stream_events(spark, sf_dir: str) -> DataFrame:
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )
-    return normalize_timestamps(raw)
+    return normalize_timestamps(raw, table="events")
 
 
 def drain_to_table(sdf: DataFrame, output_mode: str) -> DataFrame:

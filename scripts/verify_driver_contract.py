@@ -5,7 +5,16 @@ queries() entry at sf0.01 compared against oracle_sql() via DuckDB
 (row count + schema + order-insensitive values). Run from anywhere:
 
     python /root/repo/scripts/verify_driver_contract.py [sf_dir]
-"""
+    python /root/repo/scripts/verify_driver_contract.py --exact [sf_dir] [query ...]
+
+``--exact`` (r4 verdict, next-round item 2) closes the gap that let a
+merge-order-nondeterministic query sail through two rounds of green
+local gates: instead of the tolerance compare, each query is executed
+THREE times at different shuffle-partition counts (8/3/32 — different
+partition counts force different partial-merge shapes) and reduced to
+the driver's sort-insensitive EXACT value hash. Any run-to-run hash
+jitter, or any Spark-vs-oracle hash difference, is a FAIL. Optional
+trailing query names restrict the run (fast iteration)."""
 
 from __future__ import annotations
 
@@ -15,14 +24,21 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+_args = [a for a in sys.argv[1:]]
+EXACT = "--exact" in _args
+if EXACT:
+    _args.remove("--exact")
+SF = _args[0] if _args and _args[0].startswith("/") else "/root/testdata/sf0.01"
+ONLY = set(_args[1:] if _args and _args[0].startswith("/") else _args)
+
+EXACT_PARTITIONS = ("8", "3", "32")
 
 
 def main() -> int:
     from pyspark.sql import SparkSession
 
     sys.path.insert(0, "/root/repo/tests")
-    from oracle_utils import compare_frames, duck_connect
+    from oracle_utils import compare_frames, duck_connect, value_hash
 
     # Deliberately a VANILLA session (not session.get_spark): the round
     # driver builds its own bare SparkSession, so every query must work
@@ -44,9 +60,44 @@ def main() -> int:
         return 1
 
     qs, oracles = mod.queries(), mod.oracle_sql()
-    print(f"{len(qs)} queries, {len(oracles)} with oracles, sf_dir={SF}")
+    print(f"{len(qs)} queries, {len(oracles)} with oracles, sf_dir={SF}"
+          + (f", EXACT-HASH mode ×{len(EXACT_PARTITIONS)}" if EXACT else ""))
     con = duck_connect(SF)
     failures = []
+    if EXACT:
+        names = [n for n in qs if not ONLY or n in ONLY]
+        for name in names:
+            t0 = time.time()
+            hashes = []
+            try:
+                for parts in EXACT_PARTITIONS:
+                    spark.conf.set("spark.sql.shuffle.partitions", parts)
+                    hashes.append(value_hash(qs[name](spark, SF).toPandas()))
+            except Exception as e:  # noqa: BLE001
+                failures.append(name)
+                print(f"  {name:28s} SPARK ERROR: {e}")
+                continue
+            if len(set(hashes)) != 1:
+                failures.append(name)
+                print(f"  {name:28s} HASH JITTER across partitionings: {hashes}")
+                continue
+            if name not in oracles:
+                print(f"  {name:28s} stable ×{len(hashes)} (no oracle)  [{time.time()-t0:.1f}s]")
+                continue
+            try:
+                oh = value_hash(con.execute(oracles[name]).fetchdf())
+            except Exception as e:  # noqa: BLE001
+                failures.append(name)
+                print(f"  {name:28s} ORACLE ERROR: {e}")
+                continue
+            if oh != hashes[0]:
+                failures.append(name)
+                print(f"  {name:28s} HASH MISMATCH vs oracle: spark={hashes[0][:12]} duck={oh[:12]}")
+            else:
+                print(f"  {name:28s} exact ×{len(hashes)} + oracle  [{time.time()-t0:.1f}s]")
+        con.close()
+        print(f"\n{'FAIL: ' + ', '.join(failures) if failures else 'ALL MATCH (exact-hash)'}")
+        return 1 if failures else 0
     for name in sorted(qs):
         t0 = time.time()
         try:

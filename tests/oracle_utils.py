@@ -116,6 +116,54 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, rel_tol: flo
     return problems
 
 
+def value_hash(pdf: pd.DataFrame) -> str:
+    """Driver-replica value hash: order-insensitive (columns sorted by
+    name, rows sorted by their canonical string tuple), EXACT — floats
+    are rendered with %.17g so every distinct float64 bit pattern except
+    NaN payloads gets a distinct string (-0.0 ≠ 0.0, last-ulp differences
+    count). The real driver hashes values after the same sort; any
+    run-to-run jitter in this hash is exactly the failure class that
+    stayed invisible to the tolerance compare for two rounds
+    (udf_grouped_regression, r3-r4 verdicts)."""
+    import hashlib
+
+    import numpy as np
+
+    df = pdf[sorted(pdf.columns)]
+    canon = pd.DataFrame(index=df.index)
+    for c in df.columns:
+        s = df[c]
+        kind = s.dtype.kind
+        if kind == "f":
+            # NaN canonicalizes to the NULL sentinel: a NULL in an int
+            # column surfaces as float64-NaN through pandas on one side
+            # and sometimes object-None on the other, and the driver's
+            # hash treats them alike; genuine result NaNs then also
+            # compare engine-to-engine as equal, which is what we want.
+            v = s.to_numpy(dtype="float64")
+            canon[c] = np.where(
+                np.isnan(v), NULL_SENTINEL, np.char.mod("%.17g", np.nan_to_num(v))
+            )
+        elif kind in "iu":
+            canon[c] = s.astype("int64").map(str)
+        elif kind == "b":
+            canon[c] = s.map(lambda b: "T" if b else "F")
+        elif kind == "M":  # datetime64
+            canon[c] = s.map(lambda t: NULL_SENTINEL if pd.isna(t) else t.isoformat())
+        else:
+            canon[c] = s.map(
+                lambda v: NULL_SENTINEL
+                if v is None or (isinstance(v, float) and math.isnan(v))
+                else str(v)
+            )
+    canon = canon.sort_values(by=list(canon.columns), kind="mergesort")
+    h = hashlib.sha256()
+    h.update(("\x01".join(canon.columns) + "\x02").encode())
+    for row in canon.itertuples(index=False, name=None):
+        h.update(("\x01".join(row) + "\x02").encode())
+    return h.hexdigest()
+
+
 def run_parity(spark, sf_dir: str, name: str, con=None) -> list[str]:
     """``con``: pass a shared duck_connect(sf_dir) connection to skip the
     per-call connect + 10 CREATE VIEWs (the parametrized parity suite runs

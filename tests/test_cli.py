@@ -60,3 +60,16 @@ def test_sort_continent_uses_dict_path_and_validates(spark, tmp_path):
     out = spark.read.parquet(dst)
     assert out.count() == 5000
     assert out.columns == spark.read.parquet(src).columns  # no helper column leaks
+
+
+def test_ui_flag_parses_in_both_positions():
+    """`cli --ui sort ...` and `cli sort ... --ui` must both set ui=True:
+    the subparser copies of --ui default to SUPPRESS, because argparse
+    copies subparser results back over the main namespace and a plain
+    store_true default False there erased a pre-subcommand --ui
+    (r4 ADVICE)."""
+    p = cli.build_parser()
+    base = ["sort", "--key", "id", "--in", "x", "--out", "y"]
+    assert p.parse_args(["--ui"] + base).ui is True
+    assert p.parse_args(base + ["--ui"]).ui is True
+    assert p.parse_args(base).ui is False
