@@ -141,9 +141,12 @@ def value_hash(pdf: pd.DataFrame) -> str:
             # hash treats them alike; genuine result NaNs then also
             # compare engine-to-engine as equal, which is what we want.
             v = s.to_numpy(dtype="float64")
-            canon[c] = np.where(
-                np.isnan(v), NULL_SENTINEL, np.char.mod("%.17g", np.nan_to_num(v))
-            )
+            # object dtype, NOT np.where over the formatted array: numpy
+            # would coerce to a fixed-width unicode dtype sized to the
+            # longest %.17g output and silently truncate the sentinel
+            formatted = np.char.mod("%.17g", np.nan_to_num(v)).astype(object)
+            formatted[np.isnan(v)] = NULL_SENTINEL
+            canon[c] = formatted
         elif kind in "iu":
             canon[c] = s.astype("int64").map(str)
         elif kind == "b":
