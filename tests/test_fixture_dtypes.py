@@ -91,3 +91,56 @@ def test_session_timezone_pinned_utc(spark, sf_dir):
 
     load_table(spark, sf_dir, "events")
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_regression_comoment_int64_headroom():
+    """Fail-first guard for the merge-order-invariant regression contract
+    (queries/llm.py _REGR_ORACLE): its five co-moment sums and the
+    num/den combinations are computed in BIGINT, which is exact only
+    while every intermediate stays within int64. On the current fixtures
+    the largest magnitude is ~5e16 (~180x headroom), but a regenerated
+    events fixture with a much wider ts span or larger values could
+    silently overflow — under ANSI that is a runtime error on the
+    driver, without ANSI a wrong answer. This test computes the actual
+    per-group maxima via DuckDB and requires 2x headroom; if it fires,
+    rescale x (e.g. whole minutes instead of seconds) or y in BOTH the
+    Spark queries and _REGR_ORACLE — the contract is symmetric, so any
+    consistent rescale keeps exactness."""
+    import duckdb
+
+    # registry first: queries.llm imports the registry module, which
+    # imports every query module — entering via llm directly would leave
+    # llm half-initialized when registry's _reorder runs (circular import)
+    import kafka_stream_sorter_spark.registry  # noqa: F401
+    from kafka_stream_sorter_spark.queries.llm import REGR_X_ORIGIN_US
+
+    limit = (1 << 63) // 2  # int64 max with 2x headroom
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/events.parquet"
+        if not os.path.exists(path):
+            continue
+        row = duckdb.sql(
+            f"""
+            WITH q AS (
+              SELECT user_id,
+                     CAST(floor((epoch_us(ts) - {REGR_X_ORIGIN_US}) / 1000000.0) AS BIGINT) AS x,
+                     CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
+              FROM read_parquet('{path}')
+            ), s AS (
+              SELECT CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+                     CAST(sum(x*y) AS HUGEINT) AS sxy, CAST(sum(x*x) AS HUGEINT) AS sxx
+              FROM q GROUP BY user_id
+            )
+            SELECT max(greatest(abs(n*sxy), abs(sx*sy), abs(n*sxx), abs(sx*sx),
+                                abs(sxy), abs(sxx), abs(sx), abs(sy))) AS peak
+            FROM s
+            """
+        ).fetchone()
+        peak = int(row[0])
+        assert peak < limit, (
+            f"{sf}: regression co-moment peak {peak:.3e} exceeds int64/2 "
+            f"({limit:.3e}) — the fixture's ts span or value range grew; "
+            "rescale x/y in queries/llm.py (_REGR_ORACLE + both queries) "
+            "before trusting any regression row"
+        )
