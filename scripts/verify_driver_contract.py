@@ -10,11 +10,12 @@ queries() entry at sf0.01 compared against oracle_sql() via DuckDB
 ``--exact`` (r4 verdict, next-round item 2) closes the gap that let a
 merge-order-nondeterministic query sail through two rounds of green
 local gates: instead of the tolerance compare, each query is executed
-THREE times at different shuffle-partition counts (8/3/32 — different
-partition counts force different partial-merge shapes) and reduced to
-the driver's sort-insensitive EXACT value hash. Any run-to-run hash
-jitter, or any Spark-vs-oracle hash difference, is a FAIL. Optional
-trailing query names restrict the run (fast iteration)."""
+FOUR times at different shuffle-partition counts (8/3/32/200 — different
+partition counts force different partial-merge shapes; 200 is the
+default of the driver's bare session) and reduced to the driver's
+sort-insensitive EXACT value hash. Any run-to-run hash jitter, or any
+Spark-vs-oracle hash difference, is a FAIL. Optional trailing query
+names restrict the run (fast iteration)."""
 
 from __future__ import annotations
 
@@ -31,7 +32,7 @@ if EXACT:
 SF = _args[0] if _args and _args[0].startswith("/") else "/root/testdata/sf0.01"
 ONLY = set(_args[1:] if _args and _args[0].startswith("/") else _args)
 
-EXACT_PARTITIONS = ("8", "3", "32")
+EXACT_PARTITIONS = ("8", "3", "32", "200")
 
 
 def main() -> int:
