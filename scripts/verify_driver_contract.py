@@ -25,12 +25,21 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+import os
+
 _args = [a for a in sys.argv[1:]]
 EXACT = "--exact" in _args
 if EXACT:
     _args.remove("--exact")
-SF = _args[0] if _args and _args[0].startswith("/") else "/root/testdata/sf0.01"
-ONLY = set(_args[1:] if _args and _args[0].startswith("/") else _args)
+# First arg is the sf_dir iff it names a real directory (absolute OR
+# relative — a startswith('/') test silently verified the default dir
+# for relative paths); everything after is a query-name filter.
+if _args and os.path.isdir(_args[0]):
+    SF, ONLY = os.path.abspath(_args[0]), set(_args[1:])
+elif _args and (os.sep in _args[0] or _args[0].startswith("sf")):
+    raise SystemExit(f"sf_dir argument {_args[0]!r} is not a directory")
+else:
+    SF, ONLY = "/root/testdata/sf0.01", set(_args)
 
 EXACT_PARTITIONS = ("8", "3", "32", "200")
 
@@ -66,6 +75,12 @@ def main() -> int:
     con = duck_connect(SF)
     failures = []
     if EXACT:
+        unknown = ONLY - set(qs)
+        if unknown:
+            # a typo must not shrink the selection into a zero-query
+            # "ALL MATCH" — fail loudly instead
+            print(f"FAIL: unknown query names: {sorted(unknown)}")
+            return 1
         names = [n for n in qs if not ONLY or n in ONLY]
         for name in names:
             t0 = time.time()

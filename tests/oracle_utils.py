@@ -143,8 +143,11 @@ def value_hash(pdf: pd.DataFrame) -> str:
             v = s.to_numpy(dtype="float64")
             # object dtype, NOT np.where over the formatted array: numpy
             # would coerce to a fixed-width unicode dtype sized to the
-            # longest %.17g output and silently truncate the sentinel
-            formatted = np.char.mod("%.17g", np.nan_to_num(v)).astype(object)
+            # longest %.17g output and silently truncate the sentinel.
+            # Format the RAW values (%.17g renders inf/-inf faithfully —
+            # nan_to_num would alias inf with DBL_MAX) and patch only the
+            # NaN positions afterwards.
+            formatted = np.char.mod("%.17g", v).astype(object)
             formatted[np.isnan(v)] = NULL_SENTINEL
             canon[c] = formatted
         elif kind in "iu":

@@ -51,6 +51,16 @@ def test_integer_valued_float_matches_int():
     assert value_hash(a) == value_hash(b)
 
 
+def test_inf_distinct_from_dbl_max():
+    # np.nan_to_num would alias inf with DBL_MAX; the hash must not
+    import sys
+
+    a = pd.DataFrame({"v": [np.inf, -np.inf]})
+    b = pd.DataFrame({"v": [sys.float_info.max, -sys.float_info.max]})
+    assert value_hash(a) != value_hash(b)
+    assert value_hash(a) == value_hash(a.copy())
+
+
 def test_value_change_detected_and_stable():
     a = pd.DataFrame({"k": ["x", "y"], "v": [1, 2]})
     assert value_hash(a) == value_hash(a.copy())
