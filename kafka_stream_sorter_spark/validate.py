@@ -57,35 +57,46 @@ def count_violations(
     # input_file_name() is '' and the run degrades to the partition, as
     # before. A large file SPLIT across partitions still yields per-split
     # runs — internally sorted and range-disjoint, fine under merge.
+    #
+    # ONE pass, NO cache: the within-run inversion count and the run
+    # bounds fold into a single groupBy on the window's own partitioning
+    # keys, so there is no second scan and nothing to persist. (The old
+    # shape persisted 300M rows carrying the full input_file_name STRING
+    # each and scanned the cache twice — at 6× reference scale that cost
+    # a 60 GB driver heap where this needs none beyond the window sort's
+    # spillable execution memory.) The file name ships as an 8-byte
+    # xxhash64, not the string: only run identity matters, and a 2^-64
+    # in-partition collision would merely merge two runs into a stricter
+    # adjacency check. Single-job evaluation also removes the
+    # mono-id/pid re-evaluation hazard the persist existed to prevent.
+    run_id = (
+        F.xxhash64(F.input_file_name())
+        if allow_run_merge
+        # Strict mode checks PRODUCED row order, where a file joint
+        # inside a packed partition IS an adjacency to verify — so the
+        # run stays the whole partition there.
+        else F.lit(0)
+    )
     keyed = (
         df.select(F.struct(*[F.col(k) for k in keys]).alias("k"))
         .withColumn("_pos", F.monotonically_increasing_id())
         .withColumn("_pid", F.spark_partition_id())
-        .withColumn(
-            "_file",
-            # Strict mode checks PRODUCED row order, where a file joint
-            # inside a packed partition IS an adjacency to verify — so the
-            # run stays the whole partition there. Merge mode treats each
-            # file as its own internally-sorted run.
-            F.input_file_name() if allow_run_merge else F.lit(""),
-        )
-        .persist()  # two passes (within + boundaries) must see one ordering
+        .withColumn("_file", run_id)
     )
-    try:
-        w = Window.partitionBy("_pid", "_file").orderBy("_pos")
-        prev = F.lag("k").over(w)
-        bad = (F.col("k") < prev) if ascending else (F.col("k") > prev)
-        within = (
-            keyed.select(F.coalesce(bad, F.lit(False)).alias("bad")).filter("bad").count()
+    w = Window.partitionBy("_pid", "_file").orderBy("_pos")
+    prev = F.lag("k").over(w)
+    bad = (F.col("k") < prev) if ascending else (F.col("k") > prev)
+    bounds = (
+        keyed.withColumn("_bad", F.coalesce(bad, F.lit(False)).cast("long"))
+        .groupBy("_pid", "_file")
+        .agg(
+            F.sum("_bad").alias("n_bad"),
+            F.min_by("k", "_pos").alias("first_k"),
+            F.max_by("k", "_pos").alias("last_k"),
         )
-
-        bounds = (
-            keyed.groupBy("_pid", "_file")
-            .agg(F.min_by("k", "_pos").alias("first_k"), F.max_by("k", "_pos").alias("last_k"))
-            .collect()
-        )
-    finally:
-        keyed.unpersist()
+        .collect()
+    )
+    within = sum(r["n_bad"] for r in bounds)
     # allow_run_merge=True: boundary pairs compared in RANGE order — sorted
     # by (first key, last key): the last-key tiebreak puts runs that START
     # equal but END later after the ones that end at the shared value (a
