@@ -159,6 +159,58 @@ _PRIORITY: list[str] = [
     "set_union",
     "set_intersect",
     "dedup_exact_hash",
+    # r4-attested greens (48), in their r4-check order — the r6 rotation
+    # fills to 50 from the head of this block (the 21 r3-attested above
+    # come first); the remainder is the r7 head. The whole registry is
+    # now explicitly age-ordered behind the prefix.
+    "multimodal_meta",
+    "multimodal_resize",
+    "multimodal_byte_hist",
+    "multimodal_frames",
+    "dedup_jaccard",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_sig",
+    "dedup_minhash_lsh",
+    "dedup_minhash_groups",
+    "dedup_simhash",
+    "dedup_connected_groups",
+    "dedup_embedding",
+    "ann_bruteforce",
+    "ann_vectorized",
+    "ann_ivf_blocked",
+    "ann_lsh_hyperplane",
+    "ann_knn_join",
+    "text_tokens",
+    "text_quality",
+    "text_langid",
+    "text_bpe_tokens",
+    "text_token_freq",
+    "text_repetition",
+    "text_pii_scrub",
+    "text_chunk_windows",
+    "doc_fingerprint",
+    "pipeline_quality_dedup_split",
+    "stream_topk",
+    "csv_file_roundtrip",
+    "jsonl_file_roundtrip",
+    "stream_window_tumbling",
+    "stream_window_sliding",
+    "stream_session_window",
+    "stream_sorted_drain",
+    "dedup_exact",
+    "window_analytic",
+    "agg_quantiles",
+    "agg_approx_distinct",
+    "agg_grouping_sets",
+    "join_left_outer",
+    "join_full_outer",
+    "join_null_safe",
+    "sort_numeric",
+    "sort_lexicographic",
+    "sort_low_cardinality",
+    "keyed_fanout",
+    "topk",
+    "sort_multikey_nulls",
 ]
 
 
