@@ -72,146 +72,18 @@ from kafka_stream_sorter_spark.queries import (  # noqa: E402,F401
 # Registration-order priority.
 #
 # External harnesses iterate ``queries()`` in insertion order and check only
-# a prefix of it (every round so far: the first 50). Round-5 rotation
-# (r4 verdict, next-round item 3), by attestation age and code churn:
-# (a) the regression pair — its contract was REWRITTEN this round
-# (merge-order-invariant integer co-moments, see queries/llm.py
-# _REGR_ORACLE), so changed code outranks everything; (b) the 28 queries
-# whose newest driver green is r2 (pre-staged for exactly this rotation
-# by r4); (c) fill to 50 with the 20 oldest r3-attested greens, in their
-# r3-check order. The remaining 21 r3-attested greens are pre-staged
-# right after the marker as the r6 rotation head — at r5 their
-# attestation is two rounds old, the rotation's steady-state maximum.
-_PRIORITY: list[str] = [
-    # (a) regression pair — contract rewritten r5 (exact BIGINT co-moments)
-    "udf_grouped_regression",
-    "udf_grouped_regression_pandas",
-    # (b) r2-only attestations (28)
-    "sample_hash_split",
-    "sample_stratified",
-    "window_rank",
-    "set_except",
-    "csv_wire_roundtrip",
-    "stream_dedup_keys",
-    "stream_stateful_user_stats",
-    "stream_static_join",
-    "stream_cdc_upsert",
-    "tpch_q2_min_price",
-    "tpch_q4_exists",
-    "tpch_q5_region",
-    "tpch_q7_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_profit",
-    "tpch_q10_returns",
-    "tpch_q11_value_parts",
-    "tpch_q12_late_priority",
-    "tpch_q13_custdist",
-    "tpch_q14_promo",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "tpch_q20_excess_share",
-    "tpch_q21_waiting",
-    "tpch_q22_idle_balance",
-    # (c) oldest r3-attested greens (20), r3-check order
-    "window_sessionize",
-    "window_range_frame",
-    "window_distribution",
-    "topk_paged",
-    "agg_histogram",
-    "agg_salted_skew",
-    "scalar_string",
-    "scalar_date",
-    "scalar_math",
-    "scalar_json",
-    "scalar_array_struct",
-    "udf_scalar_pandas",
-    "udtf_tokenize",
-    "unpivot_melt",
-    "sql_interface",
-    "ann_ivf_kmeans",
-    "ann_lsh_multiprobe",
-    "agg_time_bucket",
-    "join_fuzzy_levenshtein",
-    "agg_quantiles_approx",
-    # --- first 50 ends here (driver prefix boundary) ---
-    # remaining r3-attested greens (21) — the head of the r6 rotation
-    "join_interval_overlap",
-    "join_asof",
-    "join_interval_bucketed",
-    "stream_stream_interval_join",
-    "filter_project",
-    "agg_tpch_q1",
-    "tpch_q6",
-    "tpch_q3_topk",
-    "join_broadcast",
-    "join_sortmerge",
-    "join_multiway",
-    "join_semi",
-    "join_anti",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_stats",
-    "agg_pivot",
-    "set_union",
-    "set_intersect",
-    "dedup_exact_hash",
-    # r4-attested greens (48), in their r4-check order — the r6 rotation
-    # fills to 50 from the head of this block (the 21 r3-attested above
-    # come first); the remainder is the r7 head. The whole registry is
-    # now explicitly age-ordered behind the prefix.
-    "multimodal_meta",
-    "multimodal_resize",
-    "multimodal_byte_hist",
-    "multimodal_frames",
-    "dedup_jaccard",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_sig",
-    "dedup_minhash_lsh",
-    "dedup_minhash_groups",
-    "dedup_simhash",
-    "dedup_connected_groups",
-    "dedup_embedding",
-    "ann_bruteforce",
-    "ann_vectorized",
-    "ann_ivf_blocked",
-    "ann_lsh_hyperplane",
-    "ann_knn_join",
-    "text_tokens",
-    "text_quality",
-    "text_langid",
-    "text_bpe_tokens",
-    "text_token_freq",
-    "text_repetition",
-    "text_pii_scrub",
-    "text_chunk_windows",
-    "doc_fingerprint",
-    "pipeline_quality_dedup_split",
-    "stream_topk",
-    "csv_file_roundtrip",
-    "jsonl_file_roundtrip",
-    "stream_window_tumbling",
-    "stream_window_sliding",
-    "stream_session_window",
-    "stream_sorted_drain",
-    "dedup_exact",
-    "window_analytic",
-    "agg_quantiles",
-    "agg_approx_distinct",
-    "agg_grouping_sets",
-    "join_left_outer",
-    "join_full_outer",
-    "join_null_safe",
-    "sort_numeric",
-    "sort_lexicographic",
-    "sort_low_cardinality",
-    "keyed_fanout",
-    "topk",
-    "sort_multikey_nulls",
-]
+# a prefix of it (every round so far: the first 50). Since round 6 the
+# order is GENERATED, not hand-curated (r5 verdict, next-round item 2):
+# ``scripts/gen_priority.py`` derives it from the CORRECTNESS_r*.json
+# attestation history — queries whose code changed this round first (their
+# old attestation no longer vouches for the new code), then every other
+# query oldest-newest-green first — and writes the pure-data module
+# ``_priority.py`` imported here. ``tests/test_registry_attestation.py``
+# re-runs the derivation and fails if the committed file is stale (a new
+# CORRECTNESS file landed without regeneration) or hand-edited, and bounds
+# every query's attestation age at ceil(N/50)+1 rounds.
+from kafka_stream_sorter_spark._priority import PRIORITY as _PRIORITY  # noqa: E402
+
 
 
 def _reorder() -> None:

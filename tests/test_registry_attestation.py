@@ -41,3 +41,61 @@ def test_oracle_for_every_query():
     missing = [q for q in QUERIES if q not in ORACLES]
     # intentional omissions (non-SQL-expressible) must be listed here
     assert missing == [], f"queries without a DuckDB oracle: {missing}"
+
+
+def test_priority_matches_generator():
+    """_priority.py is GENERATED (r5 verdict item 2) — re-derive it from
+    the CORRECTNESS_r*.json history and the recorded CHANGED list and fail
+    if the committed file is stale (a new driver correctness file landed
+    without re-running scripts/gen_priority.py) or was hand-edited. Fix:
+    ``python scripts/gen_priority.py --changed <this round's touched
+    queries>`` and commit the regenerated file."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from gen_priority import derive_priority, load_attestations
+
+    from kafka_stream_sorter_spark import _priority
+    from kafka_stream_sorter_spark.registry import QUERIES
+
+    latest, _ = load_attestations(REPO)
+    assert _priority.LATEST_ROUND == latest, (
+        f"_priority.py was generated through round {_priority.LATEST_ROUND} "
+        f"but CORRECTNESS_r{latest:02d}.json exists — run "
+        f"python scripts/gen_priority.py --changed <touched queries>"
+    )
+    expect = derive_priority(sorted(QUERIES), _priority.CHANGED, REPO)
+    assert _priority.PRIORITY == expect, (
+        "_priority.py does not match its own derivation (hand-edited or "
+        "generator changed) — regenerate with scripts/gen_priority.py"
+    )
+
+
+def test_attestation_age_bounded():
+    """No registered query's newest driver-green may be older than
+    ceil(N/50)+1 rounds — the rotation's steady-state bound plus one round
+    of slack for code-churn promotions. A failure here means the rotation
+    was skipped or mis-ordered; regenerate _priority.py and let the next
+    driver round re-attest the aged names."""
+    import math
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from gen_priority import load_attestations
+
+    from kafka_stream_sorter_spark.registry import QUERIES
+
+    latest, newest = load_attestations(REPO)
+    bound = math.ceil(len(QUERIES) / DRIVER_PREFIX) + 1
+    # a query is re-attested when the round AFTER its promotion runs, so a
+    # name currently in the prefix is as good as checked "next round"
+    names = list(QUERIES)
+    aged = {
+        n: latest - newest.get(n, (0, 0))[0]
+        for n in names
+        if latest - newest.get(n, (0, 0))[0] > bound and n not in names[:DRIVER_PREFIX]
+    }
+    assert not aged, (
+        f"queries whose newest driver green is older than {bound} rounds "
+        f"and that are NOT queued in the driver prefix: {aged}"
+    )
