@@ -845,6 +845,13 @@ REGR_X_ORIGIN_US = 1_704_067_200_000_000
 #   floor(v*1e4 + 0.5)/1e4 (never the engines' round(): Spark's round
 #   goes through BigDecimal-of-shortest-string while DuckDB rounds the
 #   binary value — same bits in, possibly different digit out).
+# NULL ts/value rows are dropped BEFORE quantization on all three sides
+# (r5 ADVICE): without the filter the twins diverge on nulls — the JVM
+# sums skip NULL x/y while count(*) still counts the row, and pandas
+# surfaces the null as NaN, making to_numpy(dtype=int64) raise.
+# Unreachable on current fixtures (no nulls), pinned three-way by
+# tests/test_regression_contract_edges.py so a regenerated fixture
+# can't resurrect it.
 # Every step on both engines is a deterministic function of the parquet
 # bytes: quantization floors identical doubles, the sums are exact
 # int64, and all co-moment magnitudes stay < 5e16 < 2^63 (per-group n
@@ -858,6 +865,7 @@ _REGR_ORACLE = f"""
              CAST(floor((epoch_us(ts) - {REGR_X_ORIGIN_US}) / 1000000.0) AS BIGINT) AS x,
              CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
       FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
     ), s AS (
       SELECT user_id,
              CAST(count(*) AS BIGINT) AS n,
@@ -900,7 +908,9 @@ def udf_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     The round-1 grouped-map applyInPandas version survives as
     ``udf_grouped_regression_pandas`` below, registered as the
     grouped-map extension-point demo, not the production path."""
-    e = load_table(spark, sf_dir, "events").select(
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
         "user_id",
         F.floor((epoch_us("ts") - F.lit(REGR_X_ORIGIN_US)) / F.lit(1_000_000.0)).alias("x"),
         F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).alias("y"),
@@ -942,7 +952,10 @@ def udf_grouped_regression_pandas(spark: SparkSession, sf_dir: str) -> DataFrame
     timestamps as datetime64[ns] or [us] depending on version; int64 in,
     float64 out is unambiguous), the five co-moment sums are exact Python
     ints, and the float64 derivation is the oracle's expression
-    verbatim — Python floats are IEEE doubles, so the bits match."""
+    verbatim — Python floats are IEEE doubles, so the bits match.
+    NULL ts/value rows are filtered JVM-side before quantization,
+    identically to the twin and the oracle (r5 ADVICE — without it a
+    null reaches pandas as NaN and to_numpy(dtype=int64) raises)."""
     import math
 
     import numpy as np
@@ -971,7 +984,9 @@ def udf_grouped_regression_pandas(spark: SparkSession, sf_dir: str) -> DataFrame
             }
         )
 
-    e = load_table(spark, sf_dir, "events").select(
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
         "user_id",
         F.floor((epoch_us("ts") - F.lit(REGR_X_ORIGIN_US)) / F.lit(1_000_000.0)).alias("x"),
         F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).alias("y"),

@@ -12,10 +12,12 @@ merge-order-nondeterministic query sail through two rounds of green
 local gates: instead of the tolerance compare, each query is executed
 FOUR times at different shuffle-partition counts (8/3/32/200 — different
 partition counts force different partial-merge shapes; 200 is the
-default of the driver's bare session) and reduced to the driver's
-sort-insensitive EXACT value hash. Any run-to-run hash jitter, or any
-Spark-vs-oracle hash difference, is a FAIL. Optional trailing query
-names restrict the run (fast iteration)."""
+default of the driver's bare session; the 3-partition run additionally
+pins AQE partition-coalescing OFF so the four merge shapes stay
+genuinely distinct) and reduced to the driver's sort-insensitive EXACT
+value hash. Any run-to-run hash jitter, or any Spark-vs-oracle hash
+difference, is a FAIL. Optional trailing query names restrict the run
+in either mode (fast iteration); unknown names fail loudly."""
 
 from __future__ import annotations
 
@@ -41,7 +43,13 @@ elif _args and (os.sep in _args[0] or _args[0].startswith("sf")):
 else:
     SF, ONLY = "/root/testdata/sf0.01", set(_args)
 
-EXACT_PARTITIONS = ("8", "3", "32", "200")
+# (shuffle partitions, AQE partition-coalescing enabled). Varying the
+# partition count forces different partial-merge shapes; 200 is the
+# default of the driver's bare session. One run pins the AQE coalescer
+# OFF (r5 ADVICE): with it on, the coalescer can collapse several of
+# these counts to similar final shapes at sf0.01, weakening the jitter
+# detection the ×4 repetition is meant to buy.
+EXACT_CONFIGS = (("8", "true"), ("3", "false"), ("32", "true"), ("200", "true"))
 
 
 def main() -> int:
@@ -70,24 +78,30 @@ def main() -> int:
         return 1
 
     qs, oracles = mod.queries(), mod.oracle_sql()
+    # a typo must not shrink the selection into a zero-query "ALL MATCH" —
+    # fail loudly instead, in BOTH modes (r5 ADVICE: the filter used to be
+    # silently ignored outside --exact, and a mistyped sf_dir without a
+    # path separator was classified as a filter then dropped, so the run
+    # verified the default scale while printing ALL MATCH)
+    unknown = ONLY - set(qs)
+    if unknown:
+        print(f"FAIL: unknown query names (or mistyped sf_dir): {sorted(unknown)}")
+        return 1
     print(f"{len(qs)} queries, {len(oracles)} with oracles, sf_dir={SF}"
-          + (f", EXACT-HASH mode ×{len(EXACT_PARTITIONS)}" if EXACT else ""))
+          + (f", EXACT-HASH mode ×{len(EXACT_CONFIGS)}" if EXACT else ""))
     con = duck_connect(SF)
     failures = []
     if EXACT:
-        unknown = ONLY - set(qs)
-        if unknown:
-            # a typo must not shrink the selection into a zero-query
-            # "ALL MATCH" — fail loudly instead
-            print(f"FAIL: unknown query names: {sorted(unknown)}")
-            return 1
         names = [n for n in qs if not ONLY or n in ONLY]
         for name in names:
             t0 = time.time()
             hashes = []
             try:
-                for parts in EXACT_PARTITIONS:
+                for parts, coalesce in EXACT_CONFIGS:
                     spark.conf.set("spark.sql.shuffle.partitions", parts)
+                    spark.conf.set(
+                        "spark.sql.adaptive.coalescePartitions.enabled", coalesce
+                    )
                     hashes.append(value_hash(qs[name](spark, SF).toPandas()))
             except Exception as e:  # noqa: BLE001
                 failures.append(name)
@@ -114,7 +128,7 @@ def main() -> int:
         con.close()
         print(f"\n{'FAIL: ' + ', '.join(failures) if failures else 'ALL MATCH (exact-hash)'}")
         return 1 if failures else 0
-    for name in sorted(qs):
+    for name in sorted(n for n in qs if not ONLY or n in ONLY):
         t0 = time.time()
         try:
             spark_pdf = qs[name](spark, SF).toPandas()

@@ -150,11 +150,25 @@ def value_hash(pdf: pd.DataFrame) -> str:
             formatted = np.char.mod("%.17g", v).astype(object)
             formatted[np.isnan(v)] = NULL_SENTINEL
             canon[c] = formatted
-        elif kind in "iu":
+        elif kind == "i":
             canon[c] = s.astype("int64").map(str)
+        elif kind == "u":
+            # NOT astype('int64'): values >= 2^63 would silently wrap and
+            # two genuinely different uints could collide (r5 ADVICE);
+            # Python ints are unbounded, so render via the object path
+            canon[c] = s.map(
+                lambda v: NULL_SENTINEL if pd.isna(v) else str(int(v))
+            )
         elif kind == "b":
             canon[c] = s.map(lambda b: "T" if b else "F")
         elif kind == "M":  # datetime64
+            # normalize to UTC-naive first: Spark toPandas and DuckDB
+            # fetchdf can disagree on tz-awareness for the same instant,
+            # and isoformat() of aware-vs-naive differs (r5 ADVICE; repo
+            # policy already bans raw timestamp emission — belt and
+            # suspenders for any future slip)
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
             canon[c] = s.map(lambda t: NULL_SENTINEL if pd.isna(t) else t.isoformat())
         else:
             canon[c] = s.map(

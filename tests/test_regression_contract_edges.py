@@ -43,6 +43,16 @@ _ROWS = [
     (5, 10_000_000, 10.00),
     (5, 20_000_000, 20.00),
     (5, 30_000_000, 30.50),
+    # user 6: NULL ts / NULL value rows are DROPPED before quantization
+    # on all three sides (r5 ADVICE — without the shared filter the
+    # pandas twin raised on NaN→int64 while the JVM twin counted the row
+    # in n but skipped it in the sums); n must be 2 here
+    (6, None, 1.00),
+    (6, 1_000_000, None),
+    (6, 2_000_000, 5.00),
+    (6, 4_000_000, 7.00),
+    # user 7: ONLY null rows -> no surviving row -> absent from output
+    (7, None, None),
 ]
 
 
@@ -50,6 +60,8 @@ def _python_oracle():
     """Independent implementation of the documented contract."""
     groups: dict[int, list[tuple[int, int]]] = {}
     for uid, dx_us, value in _ROWS:
+        if dx_us is None or value is None:
+            continue  # contract: null ts/value rows dropped pre-quantization
         x = (dx_us) // 1_000_000  # whole seconds since origin (non-negative)
         y = math.floor(value * 100.0 + 0.5)
         groups.setdefault(uid, []).append((x, y))
@@ -76,7 +88,8 @@ def _python_oracle():
 
 def _write_events(tmp_path) -> str:
     ts = pa.array(
-        [REGR_X_ORIGIN_US + dx for _, dx, _ in _ROWS], type=pa.timestamp("us")
+        [None if dx is None else REGR_X_ORIGIN_US + dx for _, dx, _ in _ROWS],
+        type=pa.timestamp("us"),
     )
     table = pa.table(
         {
@@ -110,3 +123,27 @@ def test_jvm_regression_matches_python_oracle_on_edges(spark, tmp_path):
 
 def test_pandas_regression_matches_python_oracle_on_edges(spark, tmp_path):
     _check(spark, _write_events(tmp_path), "udf_grouped_regression_pandas")
+
+
+def test_duckdb_oracle_matches_python_oracle_on_edges(tmp_path):
+    """Third side of the contract: the REGISTERED DuckDB oracle SQL on the
+    same adversarial table (nulls included) agrees bit-exactly with the
+    independent Python implementation — so all three engines drop null
+    ts/value rows identically (r5 ADVICE)."""
+    import duckdb
+
+    from kafka_stream_sorter_spark.queries.llm import _REGR_ORACLE
+
+    sf_dir = _write_events(tmp_path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    expected = _python_oracle()
+    rows = con.execute(_REGR_ORACLE).fetchall()
+    assert len(rows) == len(expected)
+    for uid, n, slope, intercept in rows:
+        en, eslope, eintercept = expected[uid]
+        assert n == en, (uid, n, en)
+        assert slope == eslope, (uid, slope, eslope)
+        assert intercept == eintercept, (uid, intercept, eintercept)

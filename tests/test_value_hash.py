@@ -66,3 +66,32 @@ def test_value_change_detected_and_stable():
     assert value_hash(a) == value_hash(a.copy())
     b = pd.DataFrame({"k": ["x", "y"], "v": [1, 3]})
     assert value_hash(a) != value_hash(b)
+
+
+def test_uint64_above_2_63_no_wrap():
+    """uint64 values >= 2^63 must hash by their true value (r5 ADVICE:
+    astype('int64') silently wrapped them, so 2^63 and -2^63 collided)."""
+    big = np.uint64(2**63 + 7)
+    a = pd.DataFrame({"v": np.array([big], dtype=np.uint64)})
+    b = pd.DataFrame({"v": np.array([np.uint64(2**63 + 8)], dtype=np.uint64)})
+    assert value_hash(a) != value_hash(b)
+    # and the rendering equals the unbounded-int object path
+    c = pd.DataFrame({"v": pd.Series([int(big)], dtype=object)})
+    assert value_hash(a) == value_hash(c)
+
+
+def test_datetime_tz_aware_utc_equals_naive():
+    """The same instant must hash identically whether the frame carries
+    tz-aware UTC or naive timestamps (r5 ADVICE: Spark toPandas vs DuckDB
+    fetchdf can disagree on awareness for equal results)."""
+    t = pd.Timestamp("2024-03-01 12:34:56.789")
+    naive = pd.DataFrame({"ts": pd.Series([t])})
+    aware = pd.DataFrame({"ts": pd.Series([t.tz_localize("UTC")])})
+    shifted = pd.DataFrame(
+        {"ts": pd.Series([t.tz_localize("UTC").tz_convert("America/New_York")])}
+    )
+    assert value_hash(naive) == value_hash(aware)
+    # a different wall-clock rendering of the SAME instant also matches
+    assert value_hash(naive) == value_hash(shifted)
+    other = pd.DataFrame({"ts": pd.Series([t + pd.Timedelta(microseconds=1)])})
+    assert value_hash(naive) != value_hash(other)
