@@ -95,9 +95,11 @@ def keyed_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "by_type": ["event_type", "event_id"],
         "by_user": ["user_id", "event_id"],
     }.items():
-        # distributed position assignment (range partitions + per-partition
-        # row numbers + tiny offset map) — NOT a no-partition window, which
-        # would serialize the whole table through one task
+        # distributed position assignment (deterministic value-hash
+        # boundary buckets + per-bucket row numbers + tiny offset map) —
+        # NOT a no-partition window, which would serialize the whole
+        # table through one task, and cache-free: safe to loop without
+        # storage growth (operators/sort.py:with_global_position)
         pos_df = sort_ops.with_global_position(events, *keys)
         outs.append(
             pos_df.select(

@@ -57,11 +57,15 @@ def test_no_cartesian_anywhere(spark, sf_dir):
 
 
 def test_keyed_fanout_has_no_single_partition_window(spark, sf_dir):
-    # global positions must come from range partitions + offsets, not a
-    # no-partition window that serializes the table through one task
+    # global positions must come from deterministic boundary buckets +
+    # broadcast offsets, not a no-partition window that serializes the
+    # table through one task (and nothing may be persisted — the r5
+    # scheme pinned the whole sorted table; see operators/sort.py)
     df = QUERIES["keyed_fanout"](spark, sf_dir)
-    plan = assert_plan_lacks(df, "Window [row_number")  # no unpartitioned global window op
-    assert "rangepartitioning" in plan
+    plan = assert_plan_lacks(df, "Exchange SinglePartition")
+    assert "hashpartitioning(_gp_bucket" in plan  # per-bucket window
+    assert "BroadcastExchange" in plan  # offset map joins broadcast-side
+    assert "InMemoryTableScan" not in plan  # cache-free (loop-safe)
 
 
 def test_token_freq_topn_avoids_vocab_sort(spark, sf_dir):
