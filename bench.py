@@ -167,12 +167,14 @@ def main() -> None:
     slowest_sort = max(sort_times) if sort_times else None
 
     total = round(sum(timings.values()), 3)
-    # Key order is survival order: the round driver archives only the TAIL
-    # of this one line (BENCH_r03 lost the whole front half of per-query
-    # timings — r3 verdict "What's missing" #2). Fast queries go first in
-    # the dict (expendable), slow ones and every headline scalar last, so
-    # any truncation point keeps the entries a round-over-round comparison
-    # needs most.
+    # The full record (every per-query timing) goes to the committed
+    # bench_full_r{N}.json; stdout gets a <=4 KB digest. The round driver
+    # archives only a 4 KB tail of stdout and json-parses it — the r1-r5
+    # full line (~8 KB at 123 queries) truncated mid-dict and left
+    # BENCH_r{N}.json with parsed=null (r5 verdict nit #2). The digest
+    # keeps every headline scalar, the repeat metadata, and the slowest
+    # queries (the only per-query numbers a round-over-round comparison
+    # uses), plus a pointer to the full file.
     out = {
         "metric": "total_query_wall_time",
         "sf": sf,
@@ -206,7 +208,7 @@ def main() -> None:
     out["value"] = total
     line = json.dumps(out)
 
-    # Truncation-proof archive: the full line also goes to a committed
+    # Truncation-proof archive: the full record goes to a committed
     # per-round file. Round number = next after the newest BENCH_r{N}.json
     # the driver has recorded here (fallback: epoch-less 'x' never clobbers).
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -218,7 +220,23 @@ def main() -> None:
     tag = f"{max(rounds) + 1:02d}" if rounds else "x"
     with open(os.path.join(repo, f"bench_full_r{tag}.json"), "w") as fh:
         fh.write(line + "\n")
-    print(line)
+
+    # stdout digest: headline scalars + slowest-query timings, hard-capped
+    # at 4000 bytes so the driver's 4 KB tail always json-parses.
+    digest = {k: v for k, v in out.items() if k not in ("queries", "queries_min")}
+    digest["full_record"] = f"bench_full_r{tag}.json"
+    if errors:  # n_errors stays exact; messages may be elided for size
+        digest["errors"] = {k: v[:120] for k, v in list(errors.items())[:5]}
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    for keep in range(15, -1, -5):
+        digest["queries"] = dict(sorted(slowest[:keep], key=lambda kv: kv[1]))
+        digest["queries_min"] = {
+            k: queries_min[k] for k, _ in slowest[:keep] if k in queries_min
+        }
+        short = json.dumps(digest)
+        if len(short) <= 4000:
+            break
+    print(short)
 
 
 if __name__ == "__main__":
