@@ -264,31 +264,42 @@ def lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> DataFra
 
 
 def lsh_topk_multiprobe(
-    embeddings: DataFrame, query_ids: list[int], k: int = 5
+    embeddings: DataFrame, query_ids: list[int], k: int = 5, hamming: int = 1
 ) -> DataFrame:
     """Multi-probe LSH ANN: candidates live in the query's hyperplane bucket
-    OR any bucket at Hamming distance 1 from it (one flipped bit).
+    OR any bucket within Hamming distance ``hamming`` of it (flipped bits).
 
     Closes :func:`lsh_topk`'s recall gap — a query in a singleton bucket
-    still reaches its LSH_BITS adjacent buckets, and a near neighbor that
-    disagrees on exactly one plane (the most likely miss, P ∝ θ/π per bit)
-    is recovered. Scale shape is unchanged: the probe set is built by
-    exploding the *broadcast query side* into LSH_BITS+1 probe bucket
-    values, so the corpus is still probed via a pure equi-join on its
-    single precomputed bucket — no corpus replication, no distance math
-    outside the candidate set. Candidate volume is bounded by
-    (LSH_BITS+1) × the per-bucket candidate count; each (query, candidate)
-    pair arises from exactly one probe value (all probes are distinct), so
-    no dedup pass is needed."""
+    still reaches its adjacent buckets, and a near neighbor that disagrees
+    on few planes (the most likely miss, P ∝ θ/π per bit) is recovered.
+    Scale shape is unchanged: the probe set is built by exploding the
+    *broadcast query side* into sum(C(LSH_BITS, i), i≤hamming) probe
+    bucket values, so the corpus is still probed via a pure equi-join on
+    its single precomputed bucket — no corpus replication, no distance
+    math outside the candidate set. Candidate volume is bounded by
+    n_probes × the per-bucket candidate count; each (query, candidate)
+    pair arises from exactly one probe value (all XOR masks are distinct),
+    so no dedup pass is needed.
+
+    ``hamming`` is the recall/cost dial, measured at 1M×64-d (SCALING.md
+    §Round-6): on clustered data hamming=1 reaches recall 0.95; on
+    UNIFORM data — the adversarial shape with no cluster structure, where
+    per-bit agreement for true neighbors is weak — hamming=1 gets 0.40 vs
+    single-bucket 0.10, and hamming=2 (22 of 64 buckets probed, ~3× the
+    candidate volume) reaches 0.74 (and 1.00 on clustered). Default 1 is
+    the registered query's contract."""
+    from itertools import combinations
+
     emb = _with_norm(
         _as_double(embeddings).withColumn("bucket", hyperplane_bucket(F.col("embedding")))
     )
+    masks = [
+        sum(1 << j for j in bits)
+        for h in range(hamming + 1)
+        for bits in combinations(range(LSH_BITS), h)
+    ]
     probes = F.array(
-        F.col("q_bucket"),
-        *[
-            F.col("q_bucket").bitwiseXOR(F.lit(1 << j).cast("long"))
-            for j in range(LSH_BITS)
-        ],
+        *[F.col("q_bucket").bitwiseXOR(F.lit(m).cast("long")) for m in masks]
     )
     q = _query_frame(emb, query_ids, ["bucket"]).withColumn("probe", F.explode(probes))
     cand = emb.join(

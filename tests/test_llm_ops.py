@@ -232,3 +232,34 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     for q, n in dropped:
         # only droppable by ranking pressure, never by bucket exclusion
         assert len(multi[multi.query_id == q]) == 50
+
+
+def test_multiprobe_hamming_dial_widens_pool(spark, sf_dir):
+    """hamming=2 must probe a superset of hamming=1's buckets: per-query
+    candidate pools never shrink, every candidate's bucket is within 2
+    bits of the query's, and hamming=1 (the default) stays the registered
+    query's exact contract."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(8))
+    h1 = similarity.lsh_topk_multiprobe(emb, query_ids=qids, k=500).toPandas()
+    h1_default = similarity.lsh_topk_multiprobe(emb, query_ids=qids, k=500, hamming=1).toPandas()
+    assert set(zip(h1.query_id, h1.neighbor_id)) == set(
+        zip(h1_default.query_id, h1_default.neighbor_id)
+    )
+    h2 = similarity.lsh_topk_multiprobe(emb, query_ids=qids, k=500, hamming=2).toPandas()
+    c1 = h1.groupby("query_id").size().to_dict()
+    c2 = h2.groupby("query_id").size().to_dict()
+    for q, n in c1.items():
+        assert c2.get(q, 0) >= n, f"query {q}: hamming=2 shrank the pool"
+    buckets = (
+        emb.withColumn(
+            "bucket",
+            similarity.hyperplane_bucket(F.col("embedding").cast("array<double>")),
+        )
+        .select("vec_id", "bucket")
+        .toPandas()
+        .set_index("vec_id")["bucket"]
+        .to_dict()
+    )
+    for q, n in zip(h2.query_id, h2.neighbor_id):
+        assert bin(buckets[q] ^ buckets[n]).count("1") <= 2
