@@ -96,9 +96,12 @@ def test_with_global_position_loop_leaves_no_residual_storage(spark, sf_dir):
     spark.catalog.clearCache()
     # other tests in the session may hold localCheckpoint RDDs that
     # clearCache does not release — assert the DELTA, not the absolute
-    baseline = {
-        int(k.toString()) for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
-    }
+    def rdd_ids():
+        # py4j yields java objects when empty-boxed, plain ints otherwise
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(str(k)) for k in jmap.keySet().toArray()}
+
+    baseline = rdd_ids()
     events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
     n = events.count()
     for i in range(20):
@@ -111,10 +114,7 @@ def test_with_global_position_loop_leaves_no_residual_storage(spark, sf_dir):
             F.count_distinct("global_pos").alias("d"),
         ).collect()[0]
         assert (agg["n"], agg["lo"], agg["hi"], agg["d"]) == (n, 1, n, n)
-    after = {
-        int(k.toString()) for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
-    }
-    leaked = after - baseline
+    leaked = rdd_ids() - baseline
     assert not leaked, f"fanout loop persisted new RDDs: {sorted(leaked)}"
 
 
