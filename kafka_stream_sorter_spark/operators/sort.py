@@ -175,7 +175,7 @@ GP_TARGET_ROWS_PER_BUCKET = 16_384
 GP_MAX_BUCKETS = 1024
 
 
-def with_global_position(df: DataFrame, *keys: str) -> DataFrame:
+def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -> DataFrame:
     """Attach the explicit global rank (1-based) under ORDER BY keys.
 
     This materializes the total order as data, the pattern for sinks that
@@ -265,6 +265,13 @@ def with_global_position(df: DataFrame, *keys: str) -> DataFrame:
     for r in counts:
         rows.append((r["_gp_bucket"], acc))
         acc += r["count"]
+    if stats is not None:  # probe/test observability only
+        stats.update(
+            sample_rows=len(cand),
+            n_buckets=len(bounds) + 1,
+            populated_buckets=len(rows),
+            total_rows=acc,
+        )
     spark = df.sparkSession
     offsets = spark.createDataFrame(rows or [(0, 0)], "_gp_bucket int, _gp_offset long")
     w = Window.partitionBy("_gp_bucket").orderBy(*[c.asc() for c in kcols])

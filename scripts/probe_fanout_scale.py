@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Global-position probe at real row scale (r6: the rewrite's missing probe).
+
+`with_global_position` was rewritten this round from a persist-pinned
+partition-id scheme to deterministic value-hash boundary buckets
+(operators/sort.py:178 — r5 verdict nit #1). Fixture tests pin
+correctness and the zero-residual-storage contract at 10k rows; this
+probe measures the rewrite where the design actually matters — tens of
+millions of rows, where the old scheme's full-sort `.persist()` was the
+scale bug — verifying:
+
+  1. positions are a correct total order, checked DISTRIBUTED: count
+     conservation (count = n, min = 1, max = n, exact sum = n(n+1)/2)
+     plus the full adjacency check — self-join pos -> pos+1 and assert
+     key(p) <= key(p+1) for every consecutive pair (the same contract
+     validate.py enforces for the CLI sorts, here without a window);
+  2. bucket fan-out hits the cap and the window stage stays parallel
+     (populated_buckets ~ n_buckets = 1024 at this scale, so no task
+     sees more than ~rows/buckets rows);
+  3. ZERO residual cached storage after materialization (the rewrite's
+     whole point — the r5 scheme could not release its persist);
+  4. overhead vs a plain global `orderBy` of the same keys to the same
+     noop sink (the position column's price: sample job + count job +
+     bucketed window vs one range-exchange sort);
+  5. wall time, calibration-bracketed per CLAUDE.md timing rules.
+
+Two key shapes per the keyed_fanout contract: unique key (event_id) and
+low-cardinality leading key + unique tie-break (event_type, event_id) —
+the latter is adversarial for boundary sampling (ties span buckets only
+via the tie-break field).
+
+Usage: python scripts/probe_fanout_scale.py [n_rows]
+Default: 50_000_000. Run EXCLUSIVELY.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
+
+
+def calib() -> float:
+    import numpy as np
+
+    a = np.random.default_rng(0).random((1500, 1500))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        a = a @ a / np.linalg.norm(a)
+    return round(time.perf_counter() - t0, 3)
+
+
+def residual_cached_rdds(spark) -> int:
+    # same pattern as tests/test_sorts.py: persistent-RDD registry, which
+    # also catches registered-but-not-yet-materialized persists
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return len({int(str(k)) for k in jmap.keySet().toArray()})
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from kafka_stream_sorter_spark.operators import sort as sort_ops
+    from kafka_stream_sorter_spark.session import get_spark
+
+    c_before = calib()
+    spark = get_spark(app_name="probe-fanout-scale")
+
+    # Deterministic synthetic events: unique id, 8-value type column,
+    # pseudo-random user (pure column functions — reproducible under
+    # recomputation, which the cache-free design *requires*).
+    events = spark.range(0, N_ROWS, 1, 64).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("type_"), F.pmod(F.xxhash64("id"), F.lit(8))).alias(
+            "event_type"
+        ),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1_000_000)).alias("user_id"),
+    )
+
+    report: dict = {
+        "probe": "fanout_scale_r6",
+        "n_rows": N_ROWS,
+        "configs": {},
+    }
+
+    for label, keys in {
+        "unique_key": ["event_id"],
+        "low_card_plus_tiebreak": ["event_type", "event_id"],
+    }.items():
+        stats: dict = {}
+        t0 = time.perf_counter()
+        pos_df = sort_ops.with_global_position(events, *keys, stats=stats)
+        pos_df.write.format("noop").mode("overwrite").save()
+        wall = round(time.perf_counter() - t0, 1)
+        residual = residual_cached_rdds(spark)
+
+        # --- correctness, all distributed (verification I/O not billed) ---
+        agg = pos_df.agg(
+            F.count("*").alias("n"),
+            F.min("global_pos").alias("mn"),
+            F.max("global_pos").alias("mx"),
+            F.sum("global_pos").alias("s"),
+        ).collect()[0]
+        conserved = (
+            agg["n"] == N_ROWS
+            and agg["mn"] == 1
+            and agg["mx"] == N_ROWS
+            and agg["s"] == N_ROWS * (N_ROWS + 1) // 2
+        )
+        kt = F.struct(*[F.col(k) for k in keys])
+        cur = pos_df.select(F.col("global_pos").alias("p"), kt.alias("kt_a"))
+        nxt = pos_df.select(
+            (F.col("global_pos") - 1).alias("p"), kt.alias("kt_b")
+        )
+        violations = (
+            cur.join(nxt, "p").filter(F.col("kt_a") > F.col("kt_b")).count()
+        )
+        verify_wall = round(time.perf_counter() - t0 - wall, 1)
+
+        # --- plain global sort of the same keys, same sink: the baseline ---
+        t1 = time.perf_counter()
+        events.orderBy(*[F.col(k).asc() for k in keys]).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        plain_sort_wall = round(time.perf_counter() - t1, 1)
+
+        report["configs"][label] = {
+            "keys": keys,
+            "wall_sec": wall,
+            "plain_orderby_wall_sec": plain_sort_wall,
+            "verify_wall_sec": verify_wall,
+            "count_sum_conserved": conserved,
+            "adjacency_violations": violations,
+            "residual_cached_rdds": residual,
+            **stats,
+        }
+
+    report["calib_matmul_sec"] = {"before": c_before, "after": calib()}
+    report["load_avg"] = round(os.getloadavg()[0], 2)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
