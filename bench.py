@@ -236,6 +236,23 @@ def main() -> None:
         short = json.dumps(digest)
         if len(short) <= 4000:
             break
+    if len(short) > 4000:
+        # even keep=0 overflowed (pathologically long error strings):
+        # drop the messages (n_errors stays exact), then fall back to a
+        # guaranteed-parseable minimal digest rather than truncated JSON
+        digest.pop("errors", None)
+        short = json.dumps(digest)
+        if len(short) > 4000:
+            short = json.dumps(
+                {
+                    "metric": out.get("metric"),
+                    "value": out.get("value"),
+                    "unit": "sec",
+                    "sf": out.get("sf"),
+                    "n_errors": out.get("n_errors", 0),
+                    "full_record": f"bench_full_r{tag}.json",
+                }
+            )
     print(short)
 
 

@@ -196,9 +196,14 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
        boundary literals — log2(n_buckets) struct comparisons per row,
        not a linear scan (measured 2-4× cheaper than the equivalent
        when-chain even at 128 buckets; the expression is built once and
-       shared by both passes below). Null keys compare null and descend
-       low → bucket 0, matching asc nulls-first. Bucket id is monotone in
-       key order by construction.
+       shared by both passes below). Spark's struct ``>`` is a TOTAL
+       order (never null-valued): fields compare left-to-right and a
+       null field counts as smallest when it is the deciding field — so
+       (5, NULL) > (2, 7) descends HIGH on f0, while (2, NULL) vs (2, 7)
+       decides on the null f1 and descends low. That is exactly the
+       asc-nulls-first order the final window uses, so null-keyed rows
+       land in the right bucket. Bucket id is monotone in key order by
+       construction.
     3. **Exact bucket counts** (second job, keys only) → driver prefix sum
        (≤ n_buckets values, never rows) → broadcast-joined offsets.
     4. ``row_number`` windowed per bucket + offset = global position.
@@ -226,8 +231,10 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
     # Spark-side sort: boundary order must be SPARK's ascending order
     # (Python sorted() over mixed/string keys need not agree — see
     # sort_with_tiebreak's float/NaN gate for the failure class), and
-    # boundary tuples must be null-free so the struct comparisons below
-    # never return null against them.
+    # boundary tuples must be null-free because F.lit(None) yields a
+    # VOID-typed literal the struct comparison can't type-resolve (the
+    # comparison itself is a total order and handles null row keys fine;
+    # dropping null candidates only biases bucket sizing, not order).
     cand = [
         r["kt"]
         for r in sample.where(
@@ -248,9 +255,12 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
     key_t = F.struct(*fields)
 
     def _bucket_of(lo: int, hi: int):
-        # balanced decision tree over bounds[lo:hi] → bucket id in [lo, hi];
-        # a null key field makes the comparison null → descends low every
-        # level → bucket 0, exactly asc-nulls-first
+        # balanced decision tree over bounds[lo:hi] → bucket id in [lo, hi].
+        # Struct > is Spark's interpreted TOTAL order: a null field is
+        # smallest only when it is the deciding field ((5,NULL) > (2,7)
+        # is TRUE — decided by f0), which matches the asc-nulls-first
+        # window order below; an all-null or null-leading key descends
+        # low at every level → bucket 0
         if lo >= hi:
             return F.lit(lo)
         mid = (lo + hi) // 2

@@ -41,17 +41,25 @@ sys.path.insert(0, REPO)
 OUT = os.path.join(REPO, "kafka_stream_sorter_spark", "_priority.py")
 
 
-def load_attestations(repo: str = REPO) -> tuple[int, dict[str, tuple[int, int]]]:
+def load_attestations(
+    repo: str = REPO, through_round: int | None = None
+) -> tuple[int, dict[str, tuple[int, int]]]:
     """Return (latest_round, {query: (newest_green_round, position)}).
 
     ``position`` is the query's insertion position inside the CORRECTNESS
     file of its newest-green round — it preserves the driver's own check
     order as the tie-break, so repeated regeneration is stable. Queries
     never green (red or never checked) are absent from the dict.
+
+    ``through_round`` caps which CORRECTNESS files are read (used by the
+    attestation test to reproduce a pre-rotation derivation when the
+    driver's newest file landed after the round's final commit).
     """
     latest, newest = 0, {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        if through_round is not None and rnd > through_round:
+            continue
         latest = max(latest, rnd)
         with open(path) as f:
             rows = json.load(f)
@@ -70,22 +78,91 @@ def load_attestations(repo: str = REPO) -> tuple[int, dict[str, tuple[int, int]]
     return latest, newest
 
 
+def load_red_latest(
+    repo: str = REPO, through_round: int | None = None
+) -> set[str]:
+    """Queries whose MOST RECENT driver verdict is red (checked but not
+    green). Their old green attestation no longer vouches for them, so the
+    derivation promotes them to the front with the never-green group — a
+    driver-detected regression re-enters the checked prefix automatically
+    instead of keeping its stale green sort key (r6 ADVICE item 2)."""
+    verdict: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        if through_round is not None and rnd > through_round:
+            continue
+        with open(path) as f:
+            rows = json.load(f)
+        for name, rec in rows.items():
+            if not isinstance(rec, dict):
+                continue
+            green = bool(
+                rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match", True)
+                and not rec.get("err")
+            )
+            if rnd >= verdict.get(name, (0, True))[0]:
+                verdict[name] = (rnd, green)
+    return {n for n, (_, green) in verdict.items() if not green}
+
+
 def derive_priority(
-    registered: list[str], changed: list[str], repo: str = REPO
+    registered: list[str],
+    changed: list[str],
+    repo: str = REPO,
+    through_round: int | None = None,
 ) -> list[str]:
     """The full registry order: changed first, then oldest-green first.
 
-    Never-green queries (red latest verdict, or never driver-checked) sort
-    as round 0 — ahead of every aged green — in registry insertion order.
+    Never-green queries (red latest verdict, never driver-checked, or
+    green-then-red at their newest check) sort as round 0 — ahead of every
+    aged green — in registry insertion order.
     """
     unknown = [n for n in changed if n not in registered]
     if unknown:
         raise SystemExit(f"--changed names unknown queries: {unknown}")
-    _, newest = load_attestations(repo)
+    _, newest = load_attestations(repo, through_round)
+    red = load_red_latest(repo, through_round)
     reg_pos = {n: i for i, n in enumerate(registered)}
     rest = [n for n in registered if n not in set(changed)]
-    rest.sort(key=lambda n: newest.get(n, (0, reg_pos[n])))
+    rest.sort(
+        key=lambda n: (0, reg_pos[n]) if n in red else newest.get(n, (0, reg_pos[n]))
+    )
     return list(changed) + rest
+
+
+def _warn_if_changed_looks_incomplete(changed: list[str]) -> None:
+    """Best-effort guard against a forgotten ``--changed`` (r6 ADVICE
+    item 2): if engine source files changed since _priority.py was last
+    committed but no query was listed, print a loud warning naming the
+    files. Heuristic only — file→query mapping is many-to-many, so this
+    cannot be a hard failure; the red-latest promotion in derive_priority
+    is the structural backstop for driver-detected regressions."""
+    import subprocess
+
+    try:
+        last = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--", OUT],
+            cwd=REPO, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        if not last:
+            return
+        diff = subprocess.run(
+            ["git", "diff", "--name-only", f"{last}..HEAD", "--",
+             "kafka_stream_sorter_spark"],
+            cwd=REPO, capture_output=True, text=True, timeout=10,
+        ).stdout.split()
+    except Exception:
+        return
+    touched = [f for f in diff if not f.endswith("_priority.py")]
+    if touched and not changed:
+        print(
+            "WARNING: engine sources changed since _priority.py was last "
+            f"committed but --changed is empty: {touched}\n"
+            "  If any registered query's code or oracle changed, rerun "
+            "with --changed <names> so its stale attestation is re-checked."
+        )
 
 
 def main() -> int:
@@ -96,6 +173,7 @@ def main() -> int:
     from kafka_stream_sorter_spark.registry import QUERIES
 
     registered = sorted(QUERIES)  # canonical input order: name-sorted
+    _warn_if_changed_looks_incomplete(args.changed)
     order = derive_priority(registered, args.changed)
     latest, newest = load_attestations()
 

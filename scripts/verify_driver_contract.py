@@ -126,7 +126,10 @@ def main() -> int:
             else:
                 print(f"  {name:28s} exact ×{len(hashes)} + oracle  [{time.time()-t0:.1f}s]")
         con.close()
-        print(f"\n{'FAIL: ' + ', '.join(failures) if failures else 'ALL MATCH (exact-hash)'}")
+        ok = "ALL MATCH (exact-hash" + (
+            f", subset {len(ONLY)}/{len(qs)})" if ONLY else ")"
+        )
+        print(f"\n{'FAIL: ' + ', '.join(failures) if failures else ok}")
         return 1 if failures else 0
     for name in sorted(n for n in qs if not ONLY or n in ONLY):
         t0 = time.time()
@@ -159,7 +162,11 @@ def main() -> int:
         else:
             print(f"  {name:28s} match ({len(spark_pdf)} rows)  [{time.time()-t0:.1f}s]")
     con.close()
-    print(f"\n{'FAIL: ' + ', '.join(failures) if failures else 'ALL MATCH'}")
+    # a filtered run must be visibly distinct from the full driver-replica
+    # gate CLAUDE.md requires — 'ALL MATCH' alone is reserved for the
+    # full sweep (r6 ADVICE item 5)
+    suffix = f" (subset {len(ONLY)}/{len(qs)})" if ONLY else ""
+    print(f"\n{'FAIL: ' + ', '.join(failures) if failures else 'ALL MATCH' + suffix}")
     return 1 if failures else 0
 
 

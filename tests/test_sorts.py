@@ -88,6 +88,39 @@ def test_with_global_position_null_keys_and_multi_key(spark):
     ]
 
 
+def test_with_global_position_null_keys_nonempty_bounds(spark):
+    """r6 ADVICE item 3: the 6-row null test above yields ZERO boundary
+    literals, so the decision tree was never exercised against null row
+    keys. This one is sized past the GP_SAMPLE_MOD threshold so bounds are
+    non-empty (asserted via stats) and includes null LEADING keys, null
+    TRAILING tiebreaks, and normal rows — positions must match Python's
+    replica of Spark's total struct order (null smallest at the deciding
+    field)."""
+    rows = [((None if i % 97 == 0 else (i * 7) % 2999), i) for i in range(3000)]
+    rows += [(100_000 + i, None) for i in range(25)]  # null trailing field
+    df = spark.createDataFrame(rows, "k int, tb int")
+    stats: dict = {}
+    got = (
+        sort_ops.with_global_position(df, "k", "tb", stats=stats)
+        .orderBy("global_pos")
+        .select("k", "tb", "global_pos")
+        .collect()
+    )
+    assert stats["n_buckets"] >= 2, (
+        f"bounds empty (sample={stats['sample_rows']}) — decision tree not "
+        "exercised; grow the fixture"
+    )
+    assert [r["global_pos"] for r in got] == list(range(1, len(rows) + 1))
+    expect = sorted(
+        rows,
+        key=lambda r: (
+            (r[0] is not None, r[0] if r[0] is not None else 0),
+            (r[1] is not None, r[1] if r[1] is not None else 0),
+        ),
+    )
+    assert [(r["k"], r["tb"]) for r in got] == expect
+
+
 def test_with_global_position_loop_leaves_no_residual_storage(spark, sf_dir):
     """r5 verdict nit #1: the old implementation persisted the sorted frame
     with no release path, so looped fanouts grew storage without bound.
