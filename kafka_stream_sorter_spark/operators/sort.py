@@ -192,18 +192,26 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
        sample-estimated table size, clamped to GP_MAX_BUCKETS — tiny
        tables get a near-trivial expression, big ones fan the window
        stage out to the cap (a saturated sample forces the cap).
-    2. **Bucket** every row with a balanced binary decision tree over the
-       boundary literals — log2(n_buckets) struct comparisons per row,
-       not a linear scan (measured 2-4× cheaper than the equivalent
-       when-chain even at 128 buckets; the expression is built once and
-       shared by both passes below). Spark's struct ``>`` is a TOTAL
-       order (never null-valued): fields compare left-to-right and a
-       null field counts as smallest when it is the deciding field — so
-       (5, NULL) > (2, 7) descends HIGH on f0, while (2, NULL) vs (2, 7)
-       decides on the null f1 and descends low. That is exactly the
-       asc-nulls-first order the final window uses, so null-keyed rows
-       land in the right bucket. Bucket id is monotone in key order by
-       construction.
+    2. **Bucket** every row by binary search over the boundary literals —
+       log2(n_buckets) struct comparisons per row, not a linear scan. The
+       bounds live in ONE constant-folded array literal (a codegen
+       *reference*, not inline code) indexed by ``element_at``, and each
+       search level is materialized as its own projection column — so the
+       generated code is O(log n_buckets) regardless of the bucket count.
+       The r6 implementation inlined the bounds as a 1023-branch
+       ``when`` decision tree instead; at the 1024-bucket cap that blew
+       whole-stage codegen past the method-split threshold into Janino
+       nested classes and died with the known
+       ``IllegalAccessError: BufferedRowIterator.partitionIndex``
+       (first observed at the 50M probe — toy scales never saturate the
+       cap, which is exactly why the probe exists). Spark's struct ``>``
+       is a TOTAL order (never null-valued): fields compare left-to-right
+       and a null field counts as smallest when it is the deciding field —
+       so (5, NULL) > (2, 7) descends HIGH on f0, while (2, NULL) vs
+       (2, 7) decides on the null f1 and descends low. That is exactly
+       the asc-nulls-first order the final window uses, so null-keyed
+       rows land in the right bucket. Bucket id = |{bounds < key}| is
+       monotone in key order by construction.
     3. **Exact bucket counts** (second job, keys only) → driver prefix sum
        (≤ n_buckets values, never rows) → broadcast-joined offsets.
     4. ``row_number`` windowed per bucket + offset = global position.
@@ -254,20 +262,68 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
     bounds = cand[step - 1 :: step][: n_buckets - 1]
     key_t = F.struct(*fields)
 
-    def _bucket_of(lo: int, hi: int):
-        # balanced decision tree over bounds[lo:hi] → bucket id in [lo, hi].
-        # Struct > is Spark's interpreted TOTAL order: a null field is
-        # smallest only when it is the deciding field ((5,NULL) > (2,7)
-        # is TRUE — decided by f0), which matches the asc-nulls-first
-        # window order below; an all-null or null-leading key descends
-        # low at every level → bucket 0
-        if lo >= hi:
-            return F.lit(lo)
-        mid = (lo + hi) // 2
-        lit_t = F.struct(*[F.lit(v).alias(f"f{i}") for i, v in enumerate(bounds[mid])])
-        return F.when(key_t > lit_t, _bucket_of(mid + 1, hi)).otherwise(_bucket_of(lo, mid))
-
-    bucketed = df.withColumn("_gp_bucket", _bucket_of(0, len(bounds)).cast("int"))
+    # bucket id = |{i : key > bounds[i]}| (strict: a key equal to a bound
+    # stays in the bound's own bucket), computed by binary search over ONE
+    # literal array of the sorted bounds. F.array(F.struct(F.lit..)) is
+    # fully foldable, so Catalyst constant-folds it into a single complex
+    # Literal carried in the codegen references array — the per-level code
+    # is just element_at + one comparison, O(log n_buckets) total.
+    # Single-key fast path: compare the raw column against a plain literal
+    # array (primitive codegen comparison; a null key compares NULL →
+    # never bumps → bucket 0 = asc-nulls-first; Spark orders NaN above
+    # every float, in comparisons too, so NaN keys descend high like the
+    # sort). Multi-key: the key struct is materialized ONCE per row in its
+    # own column (not rebuilt per level), and struct > is Spark's TOTAL
+    # order: a null field is smallest only when it is the deciding field
+    # ((5,NULL) > (2,7) is TRUE — decided by f0), matching the
+    # asc-nulls-first window order below; an all-null or null-leading key
+    # fails every comparison → bucket 0. Each level is its own withColumn
+    # so the previous level's result is referenced (a non-cheap expression
+    # used twice per level), which CollapseProject refuses to inline — the
+    # expression tree stays linear, not 2^levels.
+    bucketed = df
+    if bounds:
+        if len(keys) == 1:
+            barr = F.array(*[F.lit(b[0]) for b in bounds])
+            row_key = kcols[0]
+            kt_col = None
+        else:
+            barr = F.array(
+                *[
+                    F.struct(*[F.lit(v).alias(f"f{i}") for i, v in enumerate(b)])
+                    for b in bounds
+                ]
+            )
+            kt_col = "_gp_kt"
+            while kt_col in df.columns:
+                kt_col += "_"
+            bucketed = bucketed.withColumn(kt_col, key_t)
+            row_key = F.col(kt_col)
+        pos_col = "_gp_bs"
+        while pos_col in df.columns:
+            pos_col += "_"
+        bucketed = bucketed.withColumn(pos_col, F.lit(0))
+        n_b = len(bounds)
+        step2 = 1 << (n_b.bit_length() - 1)  # largest power of two <= n_b
+        while step2 >= 1:
+            cand_idx = F.col(pos_col) + F.lit(step2)
+            # nested when: element_at is only evaluated under the bounds
+            # guard (ANSI mode throws on out-of-range indices)
+            bumped = F.when(
+                cand_idx <= F.lit(n_b),
+                F.when(
+                    row_key > F.element_at(barr, cand_idx.cast("int")), cand_idx
+                ).otherwise(F.col(pos_col)),
+            ).otherwise(F.col(pos_col))
+            bucketed = bucketed.withColumn(pos_col, bumped)
+            step2 //= 2
+        bucketed = bucketed.withColumn(
+            "_gp_bucket", F.col(pos_col).cast("int")
+        ).drop(pos_col)
+        if kt_col is not None:
+            bucketed = bucketed.drop(kt_col)
+    else:
+        bucketed = bucketed.withColumn("_gp_bucket", F.lit(0).cast("int"))
     counts = (
         bucketed.groupBy("_gp_bucket").count().orderBy("_gp_bucket").collect()
     )

@@ -131,6 +131,16 @@ def main() -> None:
             "ivf_kmeans": lambda e: ivf_kmeans_topk(
                 e, query_ids, n_clusters=8, n_iter=2, k=K
             ),
+            # the n_probe dial (r6 verdict item 4): p nearest cells probed
+            # per query — same single corpus-side equi-join, candidate
+            # volume scales with p; p=8 probes every trained cell (recall
+            # 1.0 by construction, the cost ceiling of the dial)
+            "ivf_kmeans_np2": lambda e: ivf_kmeans_topk(
+                e, query_ids, n_clusters=8, n_iter=2, k=K, n_probe=2
+            ),
+            "ivf_kmeans_np4": lambda e: ivf_kmeans_topk(
+                e, query_ids, n_clusters=8, n_iter=2, k=K, n_probe=4
+            ),
         }
         for name, fn in methods.items():
             t0 = time.perf_counter()

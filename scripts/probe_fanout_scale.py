@@ -20,9 +20,19 @@ scale bug — verifying:
   3. ZERO residual cached storage after materialization (the rewrite's
      whole point — the r5 scheme could not release its persist);
   4. overhead vs a plain global `orderBy` of the same keys to the same
-     noop sink (the position column's price: sample job + count job +
-     bucketed window vs one range-exchange sort);
-  5. wall time, calibration-bracketed per CLAUDE.md timing rules.
+     sink (the position column's price: sample job + count job +
+     bucketed window vs one range-exchange sort). Two baseline traps
+     found and fixed in r7: (a) `spark.range`'s id is already globally
+     sorted and Spark KNOWS it, so `orderBy(event_id)` on the raw id was
+     legitimately optimizer-eliminated — the r6 "baseline" was a bare
+     scan (measured: 0.4 s vs 4.2 s for the same sort on an unsorted
+     column). event_id is therefore a bijective permutation
+     (id·2654435761 mod N, gcd=1) — unique AND unsorted, so the
+     baseline sort actually executes. (b) the sink is parquet so the
+     verification pass reads back what was PERSISTED; both sides pay
+     the same write cost;
+  5. wall time, calibration-bracketed per CLAUDE.md timing rules;
+     min-of-3 across separate invocations is the comparable number.
 
 Two key shapes per the keyed_fanout contract: unique key (event_id) and
 low-cardinality leading key + unique tie-break (event_type, event_id) —
@@ -71,11 +81,12 @@ def main() -> None:
     c_before = calib()
     spark = get_spark(app_name="probe-fanout-scale")
 
-    # Deterministic synthetic events: unique id, 8-value type column,
+    # Deterministic synthetic events: unique but UNSORTED id (bijective
+    # permutation — see docstring trap (a)), 8-value type column,
     # pseudo-random user (pure column functions — reproducible under
     # recomputation, which the cache-free design *requires*).
     events = spark.range(0, N_ROWS, 1, 64).select(
-        F.col("id").alias("event_id"),
+        F.pmod(F.col("id") * F.lit(2654435761), F.lit(N_ROWS)).alias("event_id"),
         F.concat(F.lit("type_"), F.pmod(F.xxhash64("id"), F.lit(8))).alias(
             "event_type"
         ),
@@ -83,10 +94,11 @@ def main() -> None:
     )
 
     report: dict = {
-        "probe": "fanout_scale_r6",
+        "probe": "fanout_scale_r7",
         "n_rows": N_ROWS,
         "configs": {},
     }
+    scratch = "/tmp/probe_fanout_scratch"
 
     for label, keys in {
         "unique_key": ["event_id"],
@@ -95,11 +107,13 @@ def main() -> None:
         stats: dict = {}
         t0 = time.perf_counter()
         pos_df = sort_ops.with_global_position(events, *keys, stats=stats)
-        pos_df.write.format("noop").mode("overwrite").save()
+        pos_df.write.mode("overwrite").parquet(f"{scratch}/pos")
         wall = round(time.perf_counter() - t0, 1)
         residual = residual_cached_rdds(spark)
 
         # --- correctness, all distributed (verification I/O not billed) ---
+        # verify the PERSISTED output, not a recomputation of the frame
+        pos_df = spark.read.parquet(f"{scratch}/pos")
         agg = pos_df.agg(
             F.count("*").alias("n"),
             F.min("global_pos").alias("mn"),
@@ -124,9 +138,9 @@ def main() -> None:
 
         # --- plain global sort of the same keys, same sink: the baseline ---
         t1 = time.perf_counter()
-        events.orderBy(*[F.col(k).asc() for k in keys]).write.format(
-            "noop"
-        ).mode("overwrite").save()
+        events.orderBy(*[F.col(k).asc() for k in keys]).write.mode(
+            "overwrite"
+        ).parquet(f"{scratch}/plain")
         plain_sort_wall = round(time.perf_counter() - t1, 1)
 
         report["configs"][label] = {
@@ -140,6 +154,9 @@ def main() -> None:
             **stats,
         }
 
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
     report["calib_matmul_sec"] = {"before": c_before, "after": calib()}
     report["load_avg"] = round(os.getloadavg()[0], 2)
     print(json.dumps(report))

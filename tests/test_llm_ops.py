@@ -263,3 +263,33 @@ def test_multiprobe_hamming_dial_widens_pool(spark, sf_dir):
     )
     for q, n in zip(h2.query_id, h2.neighbor_id):
         assert bin(buckets[q] ^ buckets[n]).count("1") <= 2
+
+
+def test_ivf_kmeans_nprobe_dial(spark, sf_dir):
+    """r6 verdict item 4 — the IVF n_probe dial: (1) n_probe=1 is exactly
+    the registered query's contract (identical rows to the default call);
+    (2) widening n_probe never shrinks a query's candidate pool; (3) at
+    n_probe=n_clusters every cell is probed, so the result equals the
+    exact brute-force top-k (same round-6 cosine + id tie-break policy)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(8, 20))
+    kw = dict(query_ids=qids, n_clusters=8, n_iter=2, k=5)
+
+    default = similarity.ivf_kmeans_topk(emb, **kw).toPandas()
+    p1 = similarity.ivf_kmeans_topk(emb, **kw, n_probe=1).toPandas()
+    key = ["query_id", "neighbor_id", "rank"]
+    assert sorted(map(tuple, default[key].values.tolist())) == sorted(
+        map(tuple, p1[key].values.tolist())
+    )
+
+    p2 = similarity.ivf_kmeans_topk(emb, **kw, n_probe=2).toPandas()
+    c1 = p1.groupby("query_id").size().to_dict()
+    c2 = p2.groupby("query_id").size().to_dict()
+    for q, n in c1.items():
+        assert c2.get(q, 0) >= n, f"query {q}: n_probe=2 shrank the pool"
+
+    full = similarity.ivf_kmeans_topk(emb, **kw, n_probe=8).toPandas()
+    exact = similarity.brute_force_topk(emb, query_ids=qids, k=5).toPandas()
+    assert sorted(map(tuple, full[key].values.tolist())) == sorted(
+        map(tuple, exact[key].values.tolist())
+    ), "probing every cell must reproduce the exact brute-force top-k"

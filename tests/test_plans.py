@@ -235,3 +235,26 @@ def test_low_cardinality_sort_plans_single_long_radix_exchange(spark, sf_dir):
     assert len(exchanges) >= 1
     for args in exchanges:
         assert "_radix_key" in args and "event_type" not in args
+
+
+def test_window_queries_forbidden_shapes(spark, sf_dir):
+    """r6 verdict stretch #6 — extend keyed_fanout's forbidden-shape pins
+    to every window-bearing / paged registered query: no convenience
+    persist (InMemoryTableScan pins memory and is the 100 TB bug the r6
+    fanout rewrite removed) and no single-partition exchange (a window or
+    limit that serializes the table through one task)."""
+    from kafka_stream_sorter_spark.plans import physical_plan
+
+    for name in (
+        "window_rank",
+        "window_analytic",
+        "window_sessionize",
+        "window_range_frame",
+        "window_distribution",
+        "topk_paged",
+    ):
+        plan = physical_plan(QUERIES[name](spark, sf_dir))
+        assert "InMemoryTableScan" not in plan, f"{name}: convenience persist"
+        assert "Exchange SinglePartition" not in plan, (
+            f"{name}: single-partition exchange serializes the table"
+        )
