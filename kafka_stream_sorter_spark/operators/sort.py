@@ -213,7 +213,10 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
        rows land in the right bucket. Bucket id = |{bounds < key}| is
        monotone in key order by construction.
     3. **Exact bucket counts** (second job, keys only) → driver prefix sum
-       (≤ n_buckets values, never rows) → broadcast-joined offsets.
+       (≤ n_buckets values, never rows) → a literal offsets ARRAY indexed
+       by bucket id (an O(1) constant-folded lookup per row — r6 used a
+       broadcast hash join here, which the r7 50M decomposition billed at
+       ~19 s of per-row probe overhead for driver-known data).
     4. ``row_number`` windowed per bucket + offset = global position.
 
     Unlike a ``spark_partition_id``-based scheme over ``orderBy`` (rounds
@@ -327,25 +330,33 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
     counts = (
         bucketed.groupBy("_gp_bucket").count().orderBy("_gp_bucket").collect()
     )
-    acc, rows = 0, []
-    for r in counts:
-        rows.append((r["_gp_bucket"], acc))
-        acc += r["count"]
+    by_bucket = {r["_gp_bucket"]: r["count"] for r in counts}
+    # prefix-sum over EVERY bucket id (empty buckets included, offset =
+    # running total) → a ≤1024-entry literal array; the per-row offset is
+    # element_at(literal, bucket+1) — a constant-folded O(1) lookup, NOT
+    # a broadcast join (the r7 50M decomposition billed the former
+    # broadcast-hash-join step at ~19 s of pure per-row probe overhead
+    # for what is driver-known data ≤ GP_MAX_BUCKETS long)
+    acc, offs = 0, []
+    for b in range(len(bounds) + 1):
+        offs.append(acc)
+        acc += by_bucket.get(b, 0)
     if stats is not None:  # probe/test observability only
         stats.update(
             sample_rows=len(cand),
             n_buckets=len(bounds) + 1,
-            populated_buckets=len(rows),
+            populated_buckets=len(by_bucket),
             total_rows=acc,
         )
-    spark = df.sparkSession
-    offsets = spark.createDataFrame(rows or [(0, 0)], "_gp_bucket int, _gp_offset long")
+    off_arr = F.array(*[F.lit(v).cast("long") for v in offs])
     w = Window.partitionBy("_gp_bucket").orderBy(*[c.asc() for c in kcols])
     return (
-        bucketed.join(F.broadcast(offsets), "_gp_bucket")
-        .withColumn(
+        bucketed.withColumn(
             "global_pos",
-            (F.row_number().over(w) + F.col("_gp_offset")).cast("long"),
+            (
+                F.row_number().over(w)
+                + F.element_at(off_arr, F.col("_gp_bucket") + F.lit(1))
+            ).cast("long"),
         )
-        .drop("_gp_bucket", "_gp_offset")
+        .drop("_gp_bucket")
     )
