@@ -61,10 +61,29 @@ def _perm(a: int, b: int):
     return lambda h: (h * a + b) % P
 
 
+def _cube_mix(h):
+    """Non-linear premix g = h^3 mod P applied to token hashes before the
+    linear permutation family. The linear family alone is NOT min-wise
+    independent on structured hash sets: tokens with sequential decimal
+    suffixes ("item_0", "item_1", … — log lines, counters, templated
+    boilerplate, exactly what a web-scale corpus contains) produce char
+    hashes in arithmetic runs, and (a*h+b) mod P maps runs to runs, so
+    which element is the min becomes correlated across documents.
+    Measured planted-pair recall at 1M docs (scripts/probe_dedup_recall.py)
+    collapsed to 0.65 at Jaccard 0.9 vs the 0.986 banding theory predicts.
+    Cubing is non-linear (breaks runs), a BIJECTION mod P (gcd(3, P-1)=1
+    — no extra collisions), overflow-safe ((P-1)^2 ≈ 1.0e18 < 2^63), and
+    restores theory-exact recall at every planted level. Applied once per
+    token hash; all 16 permutations share the mixed value."""
+    return ((h * h % P) * h) % P
+
+
 def minhash_signature(tok_hashes: Column) -> list[Column]:
-    """16 MinHash values: min over tokens of (a_i * h + b_i) mod P."""
+    """16 MinHash values: min over tokens of (a_i * g + b_i) mod P where
+    g = h^3 mod P (see :func:`_cube_mix` for why the premix exists)."""
+    mixed = F.transform(tok_hashes, _cube_mix)
     return [
-        F.array_min(F.transform(tok_hashes, _perm(a, b)))
+        F.array_min(F.transform(mixed, _perm(a, b)))
         for a, b in zip(MINHASH_A, MINHASH_B)
     ]
 
@@ -100,4 +119,7 @@ def sql_char_poly_hash(s_expr: str) -> str:
 
 
 def sql_minhash(i: int, h_expr: str) -> str:
-    return f"min(({h_expr} * {MINHASH_A[i]} + {MINHASH_B[i]}) % 1000000007)"
+    """DuckDB twin of one minhash permutation INCLUDING the cube premix
+    (g = h^3 mod P, see :func:`_cube_mix`)."""
+    g = f"((({h_expr} * {h_expr}) % {P}) * {h_expr}) % {P}"
+    return f"min((({g}) * {MINHASH_A[i]} + {MINHASH_B[i]}) % {P})"

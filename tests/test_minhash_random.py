@@ -29,7 +29,8 @@ def _py_char_hash(s: str) -> int:
 
 def _py_signature(text: str) -> list[int]:
     toks = sorted(set(text.strip().lower().split()))
-    hs = [_py_char_hash(t) for t in toks]
+    # cube premix (text_hash._cube_mix): h^3 mod P before the linear perms
+    hs = [pow(_py_char_hash(t), 3, P) for t in toks]
     return [min((h * a + b) % P for h in hs) for a, b in zip(MINHASH_A, MINHASH_B)]
 
 
