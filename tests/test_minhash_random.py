@@ -106,3 +106,37 @@ def test_simhash_matches_python_replica(spark):
 
     for i, t in enumerate(texts):
         assert got[i] == py_simhash(t), f"doc {i}: simhash drift"
+
+
+def test_lsh_recall_on_sequential_token_sets(spark):
+    """STATISTICAL guard, not bit-equality: planted J=0.9 pairs built from
+    sequential-suffix tokens ("w{id}_{i}" — the templated/log-line shape a
+    web corpus contains) must be recovered at ~the banding-theory rate
+    1-(1-0.9^4)^4 = 0.986. Before the h^3 premix (functions/text_hash.py
+    _cube_mix) the linear permutation family measured 0.81 recall on this
+    exact shape at 1M docs (scripts/probe_dedup_recall.py, SCALING.md
+    round-7) — this test fails on that regression while 5-sigma-tolerant
+    of binomial noise at n=300 planted pairs."""
+    from kafka_stream_sorter_spark.operators.dedup import minhash_lsh_pairs
+
+    n_pairs, t, m = 300, 95, 5  # exact Jaccard (95-5)/(95+5) = 0.9
+    rows = []
+    for i in range(n_pairs):
+        base = [f"w{i}_{k}" for k in range(t)]
+        twin = base[: t - m] + [f"x{i}_{k}" for k in range(m)]
+        rows.append((i, " ".join(base)))
+        rows.append((i + 100_000, " ".join(twin)))
+    for i in range(2_000):  # background docs, token-disjoint
+        rows.append((200_000 + i, " ".join(f"b{i}_{k}" for k in range(t))))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).selectExpr(
+        "doc_id", "text", "'en' AS lang", "CAST(length(text) AS LONG) AS n_chars"
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.85).collect()
+    }
+    found = sum((i, i + 100_000) in got for i in range(n_pairs))
+    assert found / n_pairs >= 0.95, (
+        f"LSH recall {found}/{n_pairs} on sequential-token J=0.9 pairs — "
+        "min-wise independence regressed (theory 0.986)"
+    )
