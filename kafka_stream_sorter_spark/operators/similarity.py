@@ -214,17 +214,33 @@ HYPERPLANE_SIGNS: list[list[float]] = [
 ]
 
 
-def hyperplane_bucket(emb: Column) -> Column:
+def _band_signs(band: int) -> list[list[float]]:
+    """Sign planes for band ``band``: globally-indexed planes
+    [band·LSH_BITS, (band+1)·LSH_BITS) from the same sha256 family, so
+    band 0 is exactly HYPERPLANE_SIGNS (the oracle-twinned planes) and
+    every further band is an independent draw."""
+    if band == 0:
+        return HYPERPLANE_SIGNS
+    base = band * LSH_BITS
+    return [
+        [_plane_sign(base + j, d) for d in range(EMB_DIM)] for j in range(LSH_BITS)
+    ]
+
+
+def hyperplane_bucket(emb: Column, band: int = 0) -> Column:
     """Random-hyperplane LSH bucket id of an array<double> embedding:
     bit j = (emb · plane_j >= 0). Vectors at angle θ disagree on a bit with
     probability θ/π, so near-identical vectors share all LSH_BITS bits —
     the blocking key that makes embedding near-dup sub-quadratic.
 
+    ``band`` selects an independent set of LSH_BITS planes (band 0, the
+    default, is the registered-contract bucket with a DuckDB twin).
+
     The dot product is a left fold seeded with 0.0 in both engines, so the
     float64 sum order — and therefore every bit — is bit-identical."""
     acc = F.lit(0).cast("long")
-    for j in range(LSH_BITS):
-        signs = F.array(*[F.lit(s) for s in HYPERPLANE_SIGNS[j]])
+    for j, plane in enumerate(_band_signs(band)):
+        signs = F.array(*[F.lit(s) for s in plane])
         dot = F.aggregate(
             F.zip_with(emb, signs, lambda x, s: x * s),
             F.lit(0.0),
@@ -309,27 +325,74 @@ def lsh_topk_multiprobe(
     return _rank_topk(_score_candidates(cand, {"bucket": F.col("bucket")}), k)
 
 
-def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.999) -> DataFrame:
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.999, n_bands: int = 1
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: exact cosine verification over
     candidates blocked by hyperplane bucket — the vector twin of MinHash-LSH
     text dedup (operators/dedup.py). Within-bucket quadratic only; at 100 TB
     the bucket count scales with LSH_BITS to keep blocks executor-sized.
 
+    ``n_bands`` is the recall/cost dial (the dedup-side sibling of
+    multiprobe's ``hamming`` and IVF's ``n_probe``): a pair is a candidate
+    when it shares the bucket of ANY of ``n_bands`` independent 6-bit
+    plane sets, lifting blocking recall from p to 1-(1-p)^B for ~B× the
+    candidate volume. Planted-pair measurement at 110k vectors
+    (scripts/probe_dedup_recall.py, SCALING.md round-7): cosine-0.999
+    recall 0.92 / 0.994+ at n_bands 1 / 2. Default 1 is the registered
+    query's contract (bit-identical plan and output, band-0 bucket
+    emitted). Each qualifying pair is emitted ONCE — at its first
+    matching band (reference-band filter, the same no-dedup-shuffle trick
+    as the interval overlap join) — so no distinct pass is needed.
+
     Threshold note: on a real corpus use ~0.99+; the synthetic fixture's
     embeddings are isotropic random unit vectors (no true near-dups exist at
     any sf), so the registered query sets the threshold at the similarity
     distribution's tail to keep the verify path exercised end-to-end."""
-    emb = _with_norm(
-        _as_double(embeddings).withColumn("bucket", hyperplane_bucket(F.col("embedding")))
-    )
-    a, b = emb.alias("a"), emb.alias("b")
-    return (
-        a.join(
+    emb = _as_double(embeddings)
+    if n_bands == 1:
+        emb = _with_norm(emb.withColumn("bucket", hyperplane_bucket(F.col("embedding"))))
+        a, b = emb.alias("a"), emb.alias("b")
+        joined = a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
+    else:
+        emb = _with_norm(
+            emb.select(
+                "*",
+                *[
+                    hyperplane_bucket(F.col("embedding"), band=i).alias(f"bk{i}")
+                    for i in range(n_bands)
+                ],
+            )
+        )
+        ex = emb.withColumn(
+            "band", F.explode(F.array(*[F.lit(i) for i in range(n_bands)]))
+        ).withColumn(
+            "bucket",
+            F.element_at(
+                F.array(*[F.col(f"bk{i}") for i in range(n_bands)]), F.col("band") + 1
+            ),
+        )
+        a, b = ex.alias("a"), ex.alias("b")
+        # reference band: emit only where no earlier band already matched
+        no_earlier = F.lit(True)
+        ref = F.when(F.col("a.band") == 0, F.lit(True))
+        for j in range(1, n_bands):
+            no_earlier = no_earlier & (
+                F.col(f"a.bk{j - 1}") != F.col(f"b.bk{j - 1}")
+            )
+            ref = ref.when(F.col("a.band") == j, no_earlier)
+        joined = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).filter(ref.otherwise(F.lit(False)))
+    return (
+        joined.select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.bucket").alias("bucket"),

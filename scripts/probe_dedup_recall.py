@@ -181,7 +181,7 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
 
 
-def probe_embedding(spark, report):
+def probe_embedding(spark, report, n_bands=1):
     from pyspark.sql import functions as F
 
     from kafka_stream_sorter_spark.operators.similarity import (
@@ -229,7 +229,7 @@ def probe_embedding(spark, report):
     vecs = spark.read.parquet(f"{SCRATCH}/vecs")
 
     t0 = time.perf_counter()
-    pairs = embedding_near_dup_pairs(vecs, threshold=0.89)
+    pairs = embedding_near_dup_pairs(vecs, threshold=0.89, n_bands=n_bands)
     pairs.write.mode("overwrite").parquet(f"{SCRATCH}/emb_pairs")
     wall = round(time.perf_counter() - t0, 1)
 
@@ -238,13 +238,15 @@ def probe_embedding(spark, report):
     # candidate volume the blocking admits (the quadratic-per-bucket term)
     from kafka_stream_sorter_spark.operators.similarity import hyperplane_bucket
 
-    cand = (
-        vecs.select(hyperplane_bucket(F.col("embedding")).alias("b"))
-        .groupBy("b")
-        .count()
-        .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("pairs"))
-        .collect()[0]["pairs"]
-    )
+    cand = 0
+    for band in range(n_bands):
+        cand += (
+            vecs.select(hyperplane_bucket(F.col("embedding"), band=band).alias("b"))
+            .groupBy("b")
+            .count()
+            .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("pairs"))
+            .collect()[0]["pairs"]
+        )
     levels = {}
     for lvl, c in enumerate(COSINE_LEVELS):
         found = got.filter(
@@ -252,15 +254,17 @@ def probe_embedding(spark, report):
             & (F.col("vec_a") < (lvl + 1) * per)
             & (F.col("vec_b") == F.col("vec_a") + N_VECS)
         ).count()
-        theory = (1 - math.acos(c) / math.pi) ** 6
+        p1 = (1 - math.acos(c) / math.pi) ** 6
+        theory = 1 - (1 - p1) ** n_bands
         levels[f"cos_{c}"] = {
             "planted": per,
             "found": found,
             "recall": round(found / per, 4),
             "theory": round(theory, 4),
         }
-    report["configs"]["embedding_near_dup_pairs"] = {
+    report["configs"][f"embedding_near_dup_pairs_b{n_bands}"] = {
         "n_vecs": N_VECS + n_planted,
+        "n_bands": n_bands,
         "wall_sec": wall,
         "n_output_pairs": n_out,
         "false_pairs": n_out - sum(v["found"] for v in levels.values()),
@@ -275,9 +279,11 @@ def main() -> None:
     c_before = calib()
     spark = get_spark(app_name="probe-dedup-recall")
     report: dict = {"probe": "dedup_recall_r7", "configs": {}}
-    probe_minhash(spark, report, "uniform")
-    probe_minhash(spark, report, "sequential")
-    probe_embedding(spark, report)
+    if "--skip-text" not in sys.argv:
+        probe_minhash(spark, report, "uniform")
+        probe_minhash(spark, report, "sequential")
+    for nb in (1, 2, 3):
+        probe_embedding(spark, report, n_bands=nb)
     shutil.rmtree(SCRATCH, ignore_errors=True)
     report["calib_matmul_sec"] = {"before": c_before, "after": calib()}
     report["load_avg"] = round(os.getloadavg()[0], 2)

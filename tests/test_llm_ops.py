@@ -149,6 +149,27 @@ def test_embedding_near_dup_finds_duplicate_vectors(spark):
     assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
 
 
+def test_embedding_near_dup_multiband_superset_no_dups(spark):
+    """n_bands is a pure recall dial (operators/similarity.py): the band-2
+    pair set must contain every band-1 pair (band 0 IS the registered
+    contract's bucket), add only never-seen pairs, and emit each pair
+    exactly once (the reference-band filter replaces a distinct pass)."""
+    from pyspark.sql import functions as F
+
+    vecs = spark.range(0, 800, 1, 4).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.randn(3 + d) for d in range(64)]).alias("embedding"),
+    ).localCheckpoint()  # freeze randn: the self-join must see one sample
+    one = similarity.embedding_near_dup_pairs(vecs, threshold=0.15)
+    two = similarity.embedding_near_dup_pairs(vecs, threshold=0.15, n_bands=2)
+    p1 = {(r.vec_a, r.vec_b) for r in one.collect()}
+    rows2 = two.collect()
+    p2 = {(r.vec_a, r.vec_b) for r in rows2}
+    assert p1 <= p2, "band dial dropped band-0 pairs"
+    assert len(p2) > len(p1), "second band admitted nothing (dial inert)"
+    assert len(rows2) == len(p2), "a pair was emitted in more than one band"
+
+
 def test_bpe_token_stats_counts(spark):
     from kafka_stream_sorter_spark.operators import text as text_ops
 
