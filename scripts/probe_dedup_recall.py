@@ -13,11 +13,22 @@ corpus and reports measured recall per similarity level next to the
 closed-form expectation, so the published numbers are measurements, not
 formulas.
 
-Text side (1M docs): base docs carry doc-unique tokens ("w{id}_{i}" —
-cross-doc Jaccard 0, so recall attribution is unambiguous); a planted
-twin shares T-m of its base's T tokens and replaces m, giving EXACT
-Jaccard (T-m)/(T+m). One `minhash_lsh_pairs` run at threshold 0.45
-covers every planted level; per-level recall = found planted pairs / P.
+Text side (1M docs, TWO token shapes — see _doc_text): base docs carry
+doc-unique tokens (cross-doc Jaccard 0, so recall attribution is
+unambiguous); a planted twin shares T-m of its base's T tokens and
+replaces m, giving EXACT Jaccard (T-m)/(T+m). One `minhash_lsh_pairs`
+run at threshold 0.45 covers every planted level; per-level recall =
+found planted pairs / P. The first run of the SEQUENTIAL shape found a
+real defect — the linear permutation family lost min-wise independence
+on arithmetic-run hash sets (recall 0.81 at J=0.9 vs theory 0.986) —
+fixed by the h³ premix in functions/text_hash.py; both shapes are now
+theory-exact (SCALING.md round-7).
+
+Embedding side also sweeps the `n_bands` blocking dial (1/2/3
+independent 6-bit plane sets): recall 0.92 / 0.9935 / 1.00 at cosine
+0.999 for ~1/2/3× the candidate volume.
+
+Flags: --skip-text runs only the embedding sweep.
 
 Embedding side (~110k vectors, 64-d): base vectors are randn Gaussians
 (frozen to parquet — randn re-evaluation inside the self-join plan must
