@@ -41,21 +41,30 @@ sys.path.insert(0, REPO)
 OUT = os.path.join(REPO, "kafka_stream_sorter_spark", "_priority.py")
 
 
-def load_attestations(
-    repo: str = REPO, through_round: int | None = None
-) -> tuple[int, dict[str, tuple[int, int]]]:
-    """Return (latest_round, {query: (newest_green_round, position)}).
+def _is_green(rec: dict) -> bool:
+    """The ONE definition of a green driver verdict, shared by the aged-
+    attestation map and the red-latest promotion so the two can't drift
+    if the driver grows a new verdict field."""
+    return bool(
+        rec.get("rows_match")
+        and rec.get("schema_match")
+        # rows-only checks (no oracle) carry no hash_match key
+        and rec.get("hash_match", True)
+        and not rec.get("err")
+    )
 
-    ``position`` is the query's insertion position inside the CORRECTNESS
-    file of its newest-green round — it preserves the driver's own check
-    order as the tie-break, so repeated regeneration is stable. Queries
-    never green (red or never checked) are absent from the dict.
 
-    ``through_round`` caps which CORRECTNESS files are read (used by the
-    attestation test to reproduce a pre-rotation derivation when the
-    driver's newest file landed after the round's final commit).
+def _scan(
+    repo: str, through_round: int | None
+) -> tuple[int, dict[str, tuple[int, int]], set[str]]:
+    """One pass over CORRECTNESS_r*.json: (latest_round, newest_green,
+    red_latest). ``newest_green[query] = (round, position)`` where
+    position is the query's insertion position inside that round's file —
+    the driver's own check order as tie-break, so regeneration is stable.
+    ``red_latest`` holds queries whose MOST RECENT verdict is not green.
     """
     latest, newest = 0, {}
+    verdict: dict[str, tuple[int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         if through_round is not None and rnd > through_round:
@@ -66,15 +75,26 @@ def load_attestations(
         for pos, (name, rec) in enumerate(rows.items()):
             if not isinstance(rec, dict):
                 continue
-            green = (
-                rec.get("rows_match")
-                and rec.get("schema_match")
-                # rows-only checks (no oracle) carry no hash_match key
-                and rec.get("hash_match", True)
-                and not rec.get("err")
-            )
+            green = _is_green(rec)
             if green and rnd >= newest.get(name, (0, 0))[0]:
                 newest[name] = (rnd, pos)
+            if rnd >= verdict.get(name, (0, True))[0]:
+                verdict[name] = (rnd, green)
+    red = {n for n, (_, green) in verdict.items() if not green}
+    return latest, newest, red
+
+
+def load_attestations(
+    repo: str = REPO, through_round: int | None = None
+) -> tuple[int, dict[str, tuple[int, int]]]:
+    """Return (latest_round, {query: (newest_green_round, position)}).
+
+    Queries never green (red or never checked) are absent from the dict.
+    ``through_round`` caps which CORRECTNESS files are read (used by the
+    attestation test to reproduce a pre-rotation derivation when the
+    driver's newest file landed after the round's final commit).
+    """
+    latest, newest, _ = _scan(repo, through_round)
     return latest, newest
 
 
@@ -86,25 +106,7 @@ def load_red_latest(
     derivation promotes them to the front with the never-green group — a
     driver-detected regression re-enters the checked prefix automatically
     instead of keeping its stale green sort key (r6 ADVICE item 2)."""
-    verdict: dict[str, tuple[int, bool]] = {}
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
-        if through_round is not None and rnd > through_round:
-            continue
-        with open(path) as f:
-            rows = json.load(f)
-        for name, rec in rows.items():
-            if not isinstance(rec, dict):
-                continue
-            green = bool(
-                rec.get("rows_match")
-                and rec.get("schema_match")
-                and rec.get("hash_match", True)
-                and not rec.get("err")
-            )
-            if rnd >= verdict.get(name, (0, True))[0]:
-                verdict[name] = (rnd, green)
-    return {n for n, (_, green) in verdict.items() if not green}
+    return _scan(repo, through_round)[2]
 
 
 def derive_priority(
@@ -122,8 +124,7 @@ def derive_priority(
     unknown = [n for n in changed if n not in registered]
     if unknown:
         raise SystemExit(f"--changed names unknown queries: {unknown}")
-    _, newest = load_attestations(repo, through_round)
-    red = load_red_latest(repo, through_round)
+    _, newest, red = _scan(repo, through_round)
     reg_pos = {n: i for i, n in enumerate(registered)}
     rest = [n for n in registered if n not in set(changed)]
     rest.sort(
@@ -138,21 +139,31 @@ def _warn_if_changed_looks_incomplete(changed: list[str]) -> None:
     committed but no query was listed, print a loud warning naming the
     files. Heuristic only — file→query mapping is many-to-many, so this
     cannot be a hard failure; the red-latest promotion in derive_priority
-    is the structural backstop for driver-detected regressions."""
+    is the structural backstop for driver-detected regressions.
+
+    Diffs ``{last}`` against the WORKING TREE (not ..HEAD): the typical
+    forgotten---changed workflow edits a query, regenerates, and commits
+    both together, so at regen time the edits are still uncommitted and a
+    commit-to-commit diff would be empty. Untracked new engine files are
+    included via ``git ls-files --others``."""
     import subprocess
 
+    def _git(*argv: str) -> list[str]:
+        return subprocess.run(
+            ["git", *argv], cwd=REPO, capture_output=True, text=True,
+            timeout=10,
+        ).stdout.split()
+
     try:
-        last = subprocess.run(
-            ["git", "log", "-1", "--format=%H", "--", OUT],
-            cwd=REPO, capture_output=True, text=True, timeout=10,
-        ).stdout.strip()
+        last = _git("log", "-1", "--format=%H", "--", OUT)
         if not last:
             return
-        diff = subprocess.run(
-            ["git", "diff", "--name-only", f"{last}..HEAD", "--",
-             "kafka_stream_sorter_spark"],
-            cwd=REPO, capture_output=True, text=True, timeout=10,
-        ).stdout.split()
+        diff = _git(
+            "diff", "--name-only", last[0], "--", "kafka_stream_sorter_spark"
+        ) + _git(
+            "ls-files", "--others", "--exclude-standard", "--",
+            "kafka_stream_sorter_spark",
+        )
     except Exception:
         return
     touched = [f for f in diff if not f.endswith("_priority.py")]
