@@ -118,8 +118,15 @@ def sql_char_poly_hash(s_expr: str) -> str:
     return SQL_CHAR_POLY_HASH.format(s=s_expr)
 
 
-def sql_minhash(i: int, h_expr: str) -> str:
-    """DuckDB twin of one minhash permutation INCLUDING the cube premix
-    (g = h^3 mod P, see :func:`_cube_mix`)."""
-    g = f"((({h_expr} * {h_expr}) % {P}) * {h_expr}) % {P}"
-    return f"min((({g}) * {MINHASH_A[i]} + {MINHASH_B[i]}) % {P})"
+def sql_cube_mix(h_expr: str) -> str:
+    """DuckDB twin of :func:`_cube_mix` (g = h^3 mod P)."""
+    return f"((({h_expr} * {h_expr}) % {P}) * {h_expr}) % {P}"
+
+
+def sql_minhash(i: int, g_expr: str) -> str:
+    """DuckDB twin of one minhash permutation over a PREMIXED hash
+    ``g_expr`` (= ``sql_cube_mix(h)``). The premix is the caller's job so
+    it is evaluated once per token row and shared by all 16 permutations —
+    mirroring the Spark side, where ``minhash_signature`` computes
+    ``mixed`` once — instead of being re-inlined into every min()."""
+    return f"min((({g_expr}) * {MINHASH_A[i]} + {MINHASH_B[i]}) % {P})"

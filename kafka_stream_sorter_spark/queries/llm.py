@@ -19,6 +19,7 @@ from kafka_stream_sorter_spark.functions.text_hash import (
     MINHASH_A,
     sql_band_bucket,
     sql_char_poly_hash,
+    sql_cube_mix,
     sql_minhash,
 )
 from kafka_stream_sorter_spark.operators import dedup, multimodal, similarity, text
@@ -60,12 +61,15 @@ SQL_TOKEN_HASHES = f"""
     FROM (SELECT doc_id, unnest(list_distinct({SQL_TOKS})) AS t FROM documents)
 """
 
+# premix hoisted into the subquery: g = h^3 mod P evaluated once per token
+# row and shared by all 16 min() aggregates (like Spark's shared `mixed`)
 SQL_MINHASH_SIG = (
     "SELECT doc_id, "
     + ", ".join(
-        f"{sql_minhash(i, 'h')} AS mh{i}" for i in range(len(MINHASH_A))
+        f"{sql_minhash(i, 'g')} AS mh{i}" for i in range(len(MINHASH_A))
     )
-    + f" FROM ({SQL_TOKEN_HASHES}) GROUP BY doc_id"
+    + f" FROM (SELECT doc_id, {sql_cube_mix('h')} AS g"
+    + f" FROM ({SQL_TOKEN_HASHES})) GROUP BY doc_id"
 )
 
 SQL_LSH_BUCKETS = " UNION ALL ".join(
