@@ -289,6 +289,17 @@ def main() -> None:
 
     c_before = calib()
     spark = get_spark(app_name="probe-dedup-recall")
+    # JIT/executor warmup (CLAUDE.md rule): recall numbers are timing-
+    # independent, but without this the FIRST probe's wall_sec absorbs
+    # cold-JVM spin-up the later shapes never pay, skewing any per-shape
+    # wall comparison.
+    from pyspark.sql import functions as F
+
+    spark.range(0, 2_000_000, 1, 32).select(
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("g"), "id"
+    ).groupBy("g").agg(F.sum("id").alias("s")).write.mode("overwrite").parquet(
+        f"{SCRATCH}/warmup"
+    )
     report: dict = {"probe": "dedup_recall_r7", "configs": {}}
     if "--skip-text" not in sys.argv:
         probe_minhash(spark, report, "uniform")

@@ -31,6 +31,7 @@ the fanout probe). Inputs are pure column functions of `spark.range`
 same for the operator and its checker.
 
 Usage: python scripts/probe_join_scale.py [n_left] [--no-verify]
+                                          [--only=asof|after|overlap]
 Default n_left: 50_000_000 (as-of probe side); interval uses n_left/5
 left x n_left right.
 """
@@ -48,10 +49,20 @@ sys.path.insert(0, "/root/repo")
 ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
 N_LEFT = int(ARGS[0]) if ARGS else 50_000_000
 VERIFY = "--no-verify" not in sys.argv
+# --only=asof|after|overlap runs a single operator's probe
+ONLY = next(
+    (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")), None
+)
 N_KEYS = max(1, N_LEFT // 50)  # ~50 probe rows per key
 SCRATCH = "/tmp/probe_join_scratch"
 DAY_US = 86_400_000_000
-SPAN_US = 30 * DAY_US  # all timestamps inside a 30-day window
+# _events doubles the raw pmod value for even/odd per-side uniqueness, so
+# the EFFECTIVE timestamp span is 2*SPAN_US = 60 days. The recorded r7
+# 50M runs used this span; at 1-day width that is ~0.85 expected matches
+# per left row (not the 1.7 a 30-day span would give) — the SCALING.md
+# pair counts (8.27M at 10M left) confirm it. Kept as-is so re-runs stay
+# comparable to the recorded pair-set signatures.
+SPAN_US = 30 * DAY_US
 
 
 def calib() -> float:
@@ -65,9 +76,10 @@ def calib() -> float:
 
 
 def _events(spark, n: int, salt: int, extra_unique_bump: int = 0):
-    """n rows: key in [0, N_KEYS), ts uniform-ish over 30 days (micros,
-    unique per side via a low-bit bump so (ts, id) total order is
-    unambiguous), unsorted in both key and ts."""
+    """n rows: key in [0, N_KEYS), ts uniform-ish over 60 days (micros —
+    the *2 even/odd uniqueness trick doubles SPAN_US; unique per side via
+    the low-bit bump so (ts, id) total order is unambiguous), unsorted in
+    both key and ts."""
     from pyspark.sql import functions as F
 
     return spark.range(0, n, 1, 64).select(
@@ -133,6 +145,14 @@ def probe_asof(spark, report):
         )
         rec["verify_mismatches"] = diff
         rec["n_out"] = got.count()
+        # the full-join mismatch count alone cannot see DUPLICATED output
+        # rows (each duplicate matches the one-row-per-rid reference
+        # independently): as-of must emit exactly one row per left row,
+        # so cardinality is part of the contract being verified
+        rec["n_out_equals_n_left"] = bool(rec["n_out"] == N_LEFT)
+        rec["distinct_rid_equals_n_left"] = bool(
+            got.select("rid").distinct().count() == N_LEFT
+        )
         rec["n_matched"] = got.filter(F.col("asof_v").isNotNull()).count()
         rec["verify_wall_sec"] = round(time.perf_counter() - t1, 1)
     report["configs"]["asof_backward"] = rec
@@ -161,7 +181,8 @@ def probe_interval_after(spark, report):
     right = _events(spark, n_r, salt=4, extra_unique_bump=1).select(
         "k", F.col("ts").alias("rts"), F.col("rid").alias("r_rid")
     )
-    width = DAY_US // 1_000_000  # 1 day in seconds -> ~1.7 matches/left row
+    width = DAY_US // 1_000_000  # 1 day in sec -> ~0.85 matches/left row
+    # (uniform over the effective 60-day span, see SPAN_US note)
     t0 = time.perf_counter()
     out = interval_join_after(
         left, right, keys=["k"], left_ts="ts", right_ts="rts",
@@ -265,9 +286,12 @@ def main() -> None:
         "verify": VERIFY,
         "configs": {},
     }
-    probe_asof(spark, report)
-    probe_interval_after(spark, report)
-    probe_interval_overlap(spark, report)
+    if ONLY in (None, "asof"):
+        probe_asof(spark, report)
+    if ONLY in (None, "after"):
+        probe_interval_after(spark, report)
+    if ONLY in (None, "overlap"):
+        probe_interval_overlap(spark, report)
     shutil.rmtree(SCRATCH, ignore_errors=True)
     report["calib_matmul_sec"] = {"before": c_before, "after": calib()}
     report["load_avg"] = round(os.getloadavg()[0], 2)
