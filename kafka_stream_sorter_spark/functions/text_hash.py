@@ -69,8 +69,9 @@ def _cube_mix(h):
     boilerplate, exactly what a web-scale corpus contains) produce char
     hashes in arithmetic runs, and (a*h+b) mod P maps runs to runs, so
     which element is the min becomes correlated across documents.
-    Measured planted-pair recall at 1M docs (scripts/probe_dedup_recall.py)
-    collapsed to 0.65 at Jaccard 0.9 vs the 0.986 banding theory predicts.
+    Measured planted-pair recall at 1M docs (scripts/probe_dedup_recall.py,
+    SCALING.md round-7 table) collapsed to 0.813 at Jaccard 0.9 (theory
+    0.986) and to 0.246 at Jaccard 0.7 (theory 0.667).
     Cubing is non-linear (breaks runs), a BIJECTION mod P (gcd(3, P-1)=1
     — no extra collisions), overflow-safe ((P-1)^2 ≈ 1.0e18 < 2^63), and
     restores theory-exact recall at every planted level. Applied once per

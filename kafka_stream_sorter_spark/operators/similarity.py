@@ -343,7 +343,10 @@ def embedding_near_dup_pairs(
     query's contract (bit-identical plan and output, band-0 bucket
     emitted). Each qualifying pair is emitted ONCE — at its first
     matching band (reference-band filter, the same no-dedup-shuffle trick
-    as the interval overlap join) — so no distinct pass is needed.
+    as the interval overlap join) — so no distinct pass is needed. The
+    multi-band self-join exchanges only a slim (vec_id, band, bucket,
+    bk*) projection; embeddings and norms re-attach by vec_id after the
+    band filter, so shuffle width stays independent of dimensionality.
 
     Threshold note: on a real corpus use ~0.99+; the synthetic fixture's
     embeddings are isotropic random unit vectors (no true near-dups exist at
@@ -358,50 +361,89 @@ def embedding_near_dup_pairs(
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-    else:
-        emb = _with_norm(
-            emb.select(
-                "*",
-                *[
-                    hyperplane_bucket(F.col("embedding"), band=i).alias(f"bk{i}")
-                    for i in range(n_bands)
-                ],
+        return (
+            joined.select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.col("a.bucket").alias("bucket"),
+                F.round(
+                    cosine_with_norms(
+                        F.col("a.embedding"),
+                        F.col("b.embedding"),
+                        F.col("a._norm"),
+                        F.col("b._norm"),
+                    ),
+                    6,
+                ).alias("cos_sim"),
             )
+            .filter(F.col("cos_sim") >= threshold)
         )
-        ex = emb.withColumn(
-            "band", F.explode(F.array(*[F.lit(i) for i in range(n_bands)]))
-        ).withColumn(
-            "bucket",
-            F.element_at(
-                F.array(*[F.col(f"bk{i}") for i in range(n_bands)]), F.col("band") + 1
-            ),
+    emb = _with_norm(
+        emb.select(
+            "*",
+            *[
+                hyperplane_bucket(F.col("embedding"), band=i).alias(f"bk{i}")
+                for i in range(n_bands)
+            ],
         )
-        a, b = ex.alias("a"), ex.alias("b")
-        # reference band: emit only where no earlier band already matched
-        no_earlier = F.lit(True)
-        ref = F.when(F.col("a.band") == 0, F.lit(True))
-        for j in range(1, n_bands):
-            no_earlier = no_earlier & (
-                F.col(f"a.bk{j - 1}") != F.col(f"b.bk{j - 1}")
-            )
-            ref = ref.when(F.col("a.band") == j, no_earlier)
-        joined = a.join(
+    )
+    # The explode x n_bands self-join carries only a slim (vec_id, bk*,
+    # band, bucket) projection through both sides of the exchange — the
+    # 64-d embedding and _norm would multiply shuffle volume ~n_bands x
+    # on each side. They are re-attached by vec_id AFTER the band filter,
+    # when only surviving candidate pairs remain.
+    slim = emb.select("vec_id", *[f"bk{i}" for i in range(n_bands)])
+    ex = slim.withColumn(
+        "band", F.explode(F.array(*[F.lit(i) for i in range(n_bands)]))
+    ).withColumn(
+        "bucket",
+        F.element_at(
+            F.array(*[F.col(f"bk{i}") for i in range(n_bands)]), F.col("band") + 1
+        ),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    # reference band: emit only where no earlier band already matched
+    no_earlier = F.lit(True)
+    ref = F.when(F.col("a.band") == 0, F.lit(True))
+    for j in range(1, n_bands):
+        no_earlier = no_earlier & (
+            F.col(f"a.bk{j - 1}") != F.col(f"b.bk{j - 1}")
+        )
+        ref = ref.when(F.col("a.band") == j, no_earlier)
+    pairs = (
+        a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
-        ).filter(ref.otherwise(F.lit(False)))
-    return (
-        joined.select(
+        )
+        .filter(ref.otherwise(F.lit(False)))
+        .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.bucket").alias("bucket"),
+        )
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("_norm").alias("norm_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("_norm").alias("norm_b"),
+    )
+    return (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            "bucket",
             F.round(
                 cosine_with_norms(
-                    F.col("a.embedding"),
-                    F.col("b.embedding"),
-                    F.col("a._norm"),
-                    F.col("b._norm"),
+                    F.col("emb_a"), F.col("emb_b"), F.col("norm_a"), F.col("norm_b")
                 ),
                 6,
             ).alias("cos_sim"),
