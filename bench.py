@@ -27,9 +27,17 @@ import time
 
 
 def main() -> None:
+    # --min3-all (r7 verdict stretch #7): re-run EVERY query for min-of-3,
+    # not just the 10 slowest. For same-commit clean-window records only —
+    # it roughly triples the fixture-query wall, but makes every per-query
+    # number band-checkable (±15% rule, SCALING.md) instead of the 113
+    # single-shot timings a round-over-round comparison otherwise falls
+    # back to. The driver's per-round invocation stays flag-less.
+    min3_all = "--min3-all" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    if len(sys.argv) > 1:
-        sf_dir = sys.argv[1]
+    if args:
+        sf_dir = args[0]
     m = re.fullmatch(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
     sf = float(m.group(1)) if m else 0.1  # never crash before the JSON line
 
@@ -89,7 +97,7 @@ def main() -> None:
     # slowest twice more and publish min-of-3 as ``queries_min`` — the
     # minimum is the standard noise-robust estimate of what the machine
     # can do; the single-shot dict stays for continuity.
-    _SLOW_N, _RERUNS = 10, 2
+    _SLOW_N, _RERUNS = (len(timings), 2) if min3_all else (10, 2)
     queries_min: dict[str, float] = {}
     for name in sorted(timings, key=timings.get, reverse=True)[:_SLOW_N]:
         best = timings[name]
@@ -191,6 +199,8 @@ def main() -> None:
     # repeat-count metadata + the min-of-3 re-measurements of the slowest
     # queries, tail-positioned so driver truncation keeps them
     out["repeats"] = {"slowest_queries": 1 + _RERUNS, "ref_sorts": 3, "ref_produce": 2}
+    if min3_all:
+        out["repeats"]["min3_all"] = True
     out["queries_min"] = dict(sorted(queries_min.items(), key=lambda kv: kv[1]))
     out["load_avg_at_start"] = load_avg
     out["calib_matmul_sec"] = calib_sec
@@ -218,7 +228,11 @@ def main() -> None:
         if (m := re.match(r"BENCH_r(\d+)\.json$", f))
     ]
     tag = f"{max(rounds) + 1:02d}" if rounds else "x"
-    with open(os.path.join(repo, f"bench_full_r{tag}.json"), "w") as fh:
+    # min3-all records get their own filename so a mid-round clean-window
+    # run never clobbers (or is clobbered by) the driver's flag-less
+    # per-round archive of the same round number.
+    full_name = f"bench_full_min3_r{tag}.json" if min3_all else f"bench_full_r{tag}.json"
+    with open(os.path.join(repo, full_name), "w") as fh:
         fh.write(line + "\n")
 
     # stdout digest: headline scalars + slowest-query timings, hard-capped

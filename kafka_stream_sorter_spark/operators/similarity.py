@@ -570,6 +570,7 @@ def ivf_kmeans_topk(
     n_iter: int = 2,
     k: int = 5,
     n_probe: int = 1,
+    train_sample_mod: int | None = None,
 ) -> DataFrame:
     """ANN with a TRAINED coarse quantizer: k-means (fixed ``n_iter`` Lloyd
     rounds, centroids seeded from vec_ids ``< n_clusters`` — the corpus
@@ -603,20 +604,44 @@ def ivf_kmeans_topk(
     candidate) pair arises from exactly one probe value (the p nearest
     cells are distinct), so no dedup pass is needed. ``n_probe=1``
     preserves the registered query's exact contract (same plan shape,
-    same oracle); recall/cost curve at 1M × 64-d in SCALING.md."""
+    same oracle); recall/cost curve at 1M × 64-d in SCALING.md.
+
+    ``train_sample_mod`` is the 100 TB training dial (r7 verdict item 4):
+    when set (> 1), Lloyd rounds train on the deterministic hash-sample
+    ``xxhash64(vec_id) % mod == 0`` (seed rows ``vec_id < n_clusters``
+    always included, so the seeding contract is unchanged) and only the
+    FINAL assignment touches the full corpus — one pass, nothing
+    corpus-sized materialized. The default (None) keeps the registered
+    query's exact contract: full-corpus training with the corpus
+    projection localCheckpointed and re-read n_iter+2 times (the
+    legitimate iterative-training trade at fixture scale). Centroids from
+    a 1/mod sample are NOT bit-identical to full-corpus centroids —
+    sampling changes the cluster means — so the dial has no oracle; its
+    recall parity is measured on planted neighbors instead
+    (scripts/probe_ann_scale.py, SCALING.md round-8)."""
     import math
 
     emb = _as_double(embeddings)
-    # localCheckpoint: the training loop re-reads base n_iter+2 times (seed
-    # collect, each round's assign + stats, final assignment); without
-    # pinning, each pass re-runs the parquet scan + double cast + the
-    # interpreted _micros_vec transform from scratch.
     base = emb.select(
         "vec_id", "embedding", _micros_vec(F.col("embedding")).alias("xi")
-    ).localCheckpoint()
+    )
+    if train_sample_mod is not None and train_sample_mod > 1:
+        # The sample is small by construction: checkpoint IT for the loop
+        # and leave the full corpus lazy (scanned once at final assignment).
+        train = base.filter(
+            (F.pmod(F.xxhash64("vec_id"), F.lit(train_sample_mod)) == 0)
+            | (F.col("vec_id") < n_clusters)
+        ).localCheckpoint()
+    else:
+        # localCheckpoint: the training loop re-reads base n_iter+2 times
+        # (seed collect, each round's assign + stats, final assignment);
+        # without pinning, each pass re-runs the parquet scan + double cast
+        # + the interpreted _micros_vec transform from scratch.
+        base = base.localCheckpoint()
+        train = base
 
     seeds = (
-        base.filter(F.col("vec_id") < n_clusters)
+        train.filter(F.col("vec_id") < n_clusters)
         .orderBy("vec_id")
         .select("vec_id", "xi")
         .collect()
@@ -635,7 +660,7 @@ def ivf_kmeans_topk(
     dim = len(next(iter(cent.values())))
 
     for _ in range(n_iter):
-        assigned = base.withColumn("cluster", _nearest_cluster(cent))
+        assigned = train.withColumn("cluster", _nearest_cluster(cent))
         # posexplode×dim → groupBy(cluster, pos) beats the tempting
         # "wide" alternative (one sum column per dimension): measured
         # 0.3 s vs 0.9 s per round at sf0.1 — 64 aggregate buffers cost

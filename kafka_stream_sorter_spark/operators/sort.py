@@ -172,7 +172,20 @@ def keyed_fanout(df: DataFrame, key_specs: dict[str, list[str]]) -> dict[str, Da
 GP_SAMPLE_MOD = 256
 GP_SAMPLE_CAP = 100_000
 GP_TARGET_ROWS_PER_BUCKET = 16_384
-GP_MAX_BUCKETS = 1024
+#: 4096 (raised from 1024 in r8 after the per-field literal rewrite made
+#: plan construction O(fields)): at 50M the 4096 walls match 1024 within
+#: the noise band (builds ~10 s both, SCALING.md round-8), and the higher
+#: cap quadruples the final window stage's MAXIMUM parallelism — at
+#: 100 TB that is ~25 GB per window task instead of ~100 GB (the actual
+#: task count is min(spark.sql.shuffle.partitions, populated buckets),
+#: so clusters must raise shuffle partitions to collect the benefit).
+#: 8192 was probed and rejected: GP_SAMPLE_CAP is the next ceiling — a
+#: 100k-row sample thins to ~12 rows per boundary (only 7693 buckets
+#: materialized), degrading bucket balance, and the 50M walls regressed.
+#: Raising the cap past 8192 therefore requires raising GP_SAMPLE_CAP
+#: (driver collect grows linearly) — not worth it below ~1000-executor
+#: deployments.
+GP_MAX_BUCKETS = 4096
 
 
 def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -> DataFrame:
@@ -193,9 +206,11 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
        tables get a near-trivial expression, big ones fan the window
        stage out to the cap (a saturated sample forces the cap).
     2. **Bucket** every row by binary search over the boundary literals —
-       log2(n_buckets) struct comparisons per row, not a linear scan. The
-       bounds live in ONE constant-folded array literal (a codegen
-       *reference*, not inline code) indexed by ``element_at``, and each
+       log2(n_buckets) lexicographic comparisons per row, not a linear
+       scan. The bounds live in one constant-folded PER-FIELD array
+       literal each (a codegen *reference*, not inline code — one
+       ``F.lit(list)`` py4j call per key field, so plan construction is
+       O(fields), not O(n_buckets)) indexed by ``element_at``, and each
        search level is materialized as its own projection column — so the
        generated code is O(log n_buckets) regardless of the bucket count.
        The r6 implementation inlined the bounds as a 1023-branch
@@ -204,14 +219,14 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
        nested classes and died with the known
        ``IllegalAccessError: BufferedRowIterator.partitionIndex``
        (first observed at the 50M probe — toy scales never saturate the
-       cap, which is exactly why the probe exists). Spark's struct ``>``
-       is a TOTAL order (never null-valued): fields compare left-to-right
-       and a null field counts as smallest when it is the deciding field —
-       so (5, NULL) > (2, 7) descends HIGH on f0, while (2, NULL) vs
-       (2, 7) decides on the null f1 and descends low. That is exactly
-       the asc-nulls-first order the final window uses, so null-keyed
-       rows land in the right bucket. Bucket id = |{bounds < key}| is
-       monotone in key order by construction.
+       cap, which is exactly why the probe exists). The field-wise
+       comparison chain reproduces Spark's struct ``>`` total order
+       exactly (see the inline comment at the search loop): a null field
+       decides as smallest — (5, NULL) > (2, 7) descends HIGH on f0,
+       while (2, NULL) vs (2, 7) decides on the null f1 and descends
+       low. That is exactly the asc-nulls-first order the final window
+       uses, so null-keyed rows land in the right bucket. Bucket id =
+       |{bounds < key}| is monotone in key order by construction.
     3. **Exact bucket counts** (second job, keys only) → driver prefix sum
        (≤ n_buckets values, never rows) → a literal offsets ARRAY indexed
        by bucket id (an O(1) constant-folded lookup per row — r6 used a
@@ -263,45 +278,35 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
         n_buckets = min(GP_MAX_BUCKETS, max(2, est_rows // GP_TARGET_ROWS_PER_BUCKET))
     step = max(1, (len(cand) + n_buckets - 1) // n_buckets)
     bounds = cand[step - 1 :: step][: n_buckets - 1]
-    key_t = F.struct(*fields)
 
     # bucket id = |{i : key > bounds[i]}| (strict: a key equal to a bound
-    # stays in the bound's own bucket), computed by binary search over ONE
-    # literal array of the sorted bounds. F.array(F.struct(F.lit..)) is
-    # fully foldable, so Catalyst constant-folds it into a single complex
-    # Literal carried in the codegen references array — the per-level code
-    # is just element_at + one comparison, O(log n_buckets) total.
-    # Single-key fast path: compare the raw column against a plain literal
-    # array (primitive codegen comparison; a null key compares NULL →
-    # never bumps → bucket 0 = asc-nulls-first; Spark orders NaN above
-    # every float, in comparisons too, so NaN keys descend high like the
-    # sort). Multi-key: the key struct is materialized ONCE per row in its
-    # own column (not rebuilt per level), and struct > is Spark's TOTAL
-    # order: a null field is smallest only when it is the deciding field
-    # ((5,NULL) > (2,7) is TRUE — decided by f0), matching the
-    # asc-nulls-first window order below; an all-null or null-leading key
-    # fails every comparison → bucket 0. Each level is its own withColumn
-    # so the previous level's result is referenced (a non-cheap expression
-    # used twice per level), which CollapseProject refuses to inline — the
-    # expression tree stays linear, not 2^levels.
+    # stays in the bound's own bucket), computed by binary search over
+    # PER-FIELD literal arrays of the sorted bounds. Each array is ONE
+    # ``F.lit(python_list)`` — a single py4j call producing a single array
+    # Literal carried in the codegen references array. (The r7 shape
+    # built one struct literal per bound via F.array(F.struct(F.lit...)):
+    # semantically identical after constant folding, but constructing it
+    # costs O(n_buckets × fields) py4j round-trips of DRIVER time — the
+    # r8 50M probe billed the 2-key build at ~45 s at a 4096 cap, which
+    # was the binding ceiling on raising the cap. Per-field arrays make
+    # plan construction O(fields).)
+    # The per-level comparison is the field-wise lexicographic expansion
+    #   key > bound  ⟺  f0 > b0 OR (f0 = b0 AND (f1 > b1 OR ...))
+    # which reproduces Spark's struct TOTAL order exactly, including its
+    # null and NaN semantics: a null field makes its comparison AND the
+    # equality NULL, so the whole chain collapses to NULL exactly when
+    # the null field is the deciding one — and F.when treats NULL as
+    # false → never bumps → the row descends LOW, the asc-nulls-first
+    # order the final window uses ((5,NULL) > (2,7) still bumps — decided
+    # by f0 before the null matters). NaN: Spark comparisons order NaN
+    # above every float and NaN = NaN is TRUE, same as struct ordering.
+    # Each level is its own withColumn so the previous level's result is
+    # referenced (a non-cheap expression used twice per level), which
+    # CollapseProject refuses to inline — the expression tree stays
+    # linear, not 2^levels.
     bucketed = df
     if bounds:
-        if len(keys) == 1:
-            barr = F.array(*[F.lit(b[0]) for b in bounds])
-            row_key = kcols[0]
-            kt_col = None
-        else:
-            barr = F.array(
-                *[
-                    F.struct(*[F.lit(v).alias(f"f{i}") for i, v in enumerate(b)])
-                    for b in bounds
-                ]
-            )
-            kt_col = "_gp_kt"
-            while kt_col in df.columns:
-                kt_col += "_"
-            bucketed = bucketed.withColumn(kt_col, key_t)
-            row_key = F.col(kt_col)
+        b_arrs = [F.lit([b[i] for b in bounds]) for i in range(len(keys))]
         pos_col = "_gp_bs"
         while pos_col in df.columns:
             pos_col += "_"
@@ -310,21 +315,21 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
         step2 = 1 << (n_b.bit_length() - 1)  # largest power of two <= n_b
         while step2 >= 1:
             cand_idx = F.col(pos_col) + F.lit(step2)
+            gt = F.lit(False)
+            for i in reversed(range(len(keys))):
+                bi = F.element_at(b_arrs[i], cand_idx.cast("int"))
+                gt = (kcols[i] > bi) | ((kcols[i] == bi) & gt)
             # nested when: element_at is only evaluated under the bounds
             # guard (ANSI mode throws on out-of-range indices)
             bumped = F.when(
                 cand_idx <= F.lit(n_b),
-                F.when(
-                    row_key > F.element_at(barr, cand_idx.cast("int")), cand_idx
-                ).otherwise(F.col(pos_col)),
+                F.when(gt, cand_idx).otherwise(F.col(pos_col)),
             ).otherwise(F.col(pos_col))
             bucketed = bucketed.withColumn(pos_col, bumped)
             step2 //= 2
         bucketed = bucketed.withColumn(
             "_gp_bucket", F.col(pos_col).cast("int")
         ).drop(pos_col)
-        if kt_col is not None:
-            bucketed = bucketed.drop(kt_col)
     else:
         bucketed = bucketed.withColumn("_gp_bucket", F.lit(0).cast("int"))
     counts = (
@@ -332,7 +337,7 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
     )
     by_bucket = {r["_gp_bucket"]: r["count"] for r in counts}
     # prefix-sum over EVERY bucket id (empty buckets included, offset =
-    # running total) → a ≤1024-entry literal array; the per-row offset is
+    # running total) → a ≤GP_MAX_BUCKETS-entry literal array; the per-row offset is
     # element_at(literal, bucket+1) — a constant-folded O(1) lookup, NOT
     # a broadcast join (the r7 50M decomposition billed the former
     # broadcast-hash-join step at ~19 s of pure per-row probe overhead
@@ -348,7 +353,7 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
             populated_buckets=len(by_bucket),
             total_rows=acc,
         )
-    off_arr = F.array(*[F.lit(v).cast("long") for v in offs])
+    off_arr = F.lit([int(v) for v in offs])  # one py4j call → array<long> literal
     w = Window.partitionBy("_gp_bucket").orderBy(*[c.asc() for c in kcols])
     return (
         bucketed.withColumn(

@@ -101,7 +101,7 @@ def main() -> None:
     spark = get_spark(app_name="probe-ann-scale")
     query_ids = list(range(0, N, max(1, N // N_Q)))[:N_Q]
     out = {
-        "probe": "ann_scale_r6",
+        "probe": "ann_scale_r8",
         "n_vectors": N,
         "dim": DIM,
         "n_queries": len(query_ids),
@@ -140,6 +140,18 @@ def main() -> None:
             ),
             "ivf_kmeans_np4": lambda e: ivf_kmeans_topk(
                 e, query_ids, n_clusters=8, n_iter=2, k=K, n_probe=4
+            ),
+            # the sampled-training dial (r7 verdict item 4): Lloyd rounds
+            # on a deterministic 1/mod hash-sample; only the final
+            # assignment touches the full corpus. Recall parity with the
+            # full-corpus ivf_kmeans rows above is the acceptance bar.
+            "ivf_kmeans_smp64": lambda e: ivf_kmeans_topk(
+                e, query_ids, n_clusters=8, n_iter=2, k=K,
+                train_sample_mod=64,
+            ),
+            "ivf_kmeans_smp256_np4": lambda e: ivf_kmeans_topk(
+                e, query_ids, n_clusters=8, n_iter=2, k=K, n_probe=4,
+                train_sample_mod=256,
             ),
         }
         for name, fn in methods.items():

@@ -45,8 +45,11 @@ the latter is adversarial for boundary sampling (ties span buckets only
 via the tie-break field).
 
 Usage: python scripts/probe_fanout_scale.py [n_rows] [--no-verify]
+         [--buckets=N]
 Default: 50_000_000. Run EXCLUSIVELY; pass --no-verify on the repeat
 invocations so re-timing does not pay the one-shot adjacency checker.
+--buckets=N overrides GP_MAX_BUCKETS for the run (r7 verdict item 3:
+find the next ceiling past 1024 now that the lookup is O(log n)).
 """
 
 from __future__ import annotations
@@ -61,6 +64,10 @@ sys.path.insert(0, "/root/repo")
 ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
 N_ROWS = int(ARGS[0]) if ARGS else 50_000_000
 VERIFY = "--no-verify" not in sys.argv
+BUCKETS = next(
+    (int(a.split("=", 1)[1]) for a in sys.argv[1:] if a.startswith("--buckets=")),
+    None,
+)
 
 
 def calib() -> float:
@@ -87,6 +94,8 @@ def main() -> None:
     from kafka_stream_sorter_spark.session import get_spark
 
     c_before = calib()
+    if BUCKETS is not None:
+        sort_ops.GP_MAX_BUCKETS = BUCKETS
     spark = get_spark(app_name="probe-fanout-scale")
 
     # JIT/executor warmup before the first timed op (CLAUDE.md rule): a
@@ -112,9 +121,10 @@ def main() -> None:
     )
 
     report: dict = {
-        "probe": "fanout_scale_r7",
+        "probe": "fanout_scale_r8" if BUCKETS else "fanout_scale_r7",
         "n_rows": N_ROWS,
         "verify": VERIFY,
+        "gp_max_buckets": sort_ops.GP_MAX_BUCKETS,
         "configs": {},
     }
     scratch = "/tmp/probe_fanout_scratch"
@@ -126,11 +136,17 @@ def main() -> None:
         stats: dict = {}
         t0 = time.perf_counter()
         pos_df = sort_ops.with_global_position(events, *keys, stats=stats)
+        t_mid = time.perf_counter()
         pos_df.write.mode("overwrite").parquet(f"{scratch}/pos")
         wall = round(time.perf_counter() - t0, 1)
         residual = residual_cached_rdds(spark)
 
         rec = {"keys": keys, "wall_sec": wall,
+               # sample job + count job + driver-side expression build
+               # (the literal arrays grow with the bucket cap; this is
+               # where a too-high cap would first hurt)
+               "position_build_sec": round(t_mid - t0, 1),
+               "write_sec": round(time.perf_counter() - t_mid, 1),
                "residual_cached_rdds": residual, **stats}
 
         if VERIFY:

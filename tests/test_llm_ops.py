@@ -314,3 +314,40 @@ def test_ivf_kmeans_nprobe_dial(spark, sf_dir):
     assert sorted(map(tuple, full[key].values.tolist())) == sorted(
         map(tuple, exact[key].values.tolist())
     ), "probing every cell must reproduce the exact brute-force top-k"
+
+
+def test_ivf_kmeans_sampled_training_dial(spark, sf_dir):
+    """r7 verdict item 4 — the train_sample_mod dial: Lloyd rounds on a
+    deterministic 1/mod hash-sample, final assignment over the full
+    corpus. Pins (1) the default path is untouched (mod=None ==
+    registered contract); (2) the sampled path returns a full top-k per
+    query with the shared schema; (3) at n_probe=n_clusters the result
+    STILL equals exact brute force — probing every cell makes the
+    answer independent of where the centroids trained, so the dial can
+    never corrupt results, only move the recall/cost point; (4) seeds
+    survive sampling (vec_ids < n_clusters are force-included, so a mod
+    that would hash every seed out still trains)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(8, 20))
+    kw = dict(query_ids=qids, n_clusters=8, n_iter=2, k=5)
+    key = ["query_id", "neighbor_id", "rank"]
+
+    smp = similarity.ivf_kmeans_topk(emb, **kw, train_sample_mod=16).toPandas()
+    assert sorted(smp.columns) == sorted(
+        similarity.ivf_kmeans_topk(emb, **kw).toPandas().columns
+    )
+    assert smp.groupby("query_id").size().min() == 5
+
+    full_probe = similarity.ivf_kmeans_topk(
+        emb, **kw, n_probe=8, train_sample_mod=16
+    ).toPandas()
+    exact = similarity.brute_force_topk(emb, query_ids=qids, k=5).toPandas()
+    assert sorted(map(tuple, full_probe[key].values.tolist())) == sorted(
+        map(tuple, exact[key].values.tolist())
+    ), "n_probe=n_clusters must be exact regardless of training sample"
+
+    # an absurdly large mod leaves only the seed rows in the sample
+    seeds_only = similarity.ivf_kmeans_topk(
+        emb, **kw, train_sample_mod=1_000_000_000
+    ).toPandas()
+    assert seeds_only.groupby("query_id").size().min() == 5
