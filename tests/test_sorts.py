@@ -302,3 +302,52 @@ def test_validate_binpacked_small_files_reread(spark, tmp_path):
         assert count_violations(spark.read.parquet(bad_dir), "k", "id") > 0
     finally:
         spark.conf.set("spark.sql.files.openCostInBytes", prev_cost)
+
+
+def test_with_global_position_timestamp_and_float_nan_keys(spark):
+    """Pins the r8 per-field bounds-literal path on the key types the
+    other tests don't reach: a timestamp leading key (F.lit(list) of
+    datetimes must produce a comparable array<timestamp> literal) and a
+    float leading key containing NaN (Spark comparisons and sorts both
+    place NaN above every float, so bucket search and the final window
+    must agree). Sized past GP_SAMPLE_MOD so bounds are non-empty."""
+    import datetime as dt
+    import math
+
+    base = dt.datetime(2024, 1, 1)
+    ts_rows = [
+        (base + dt.timedelta(seconds=(i * 7919) % 4000), i) for i in range(4000)
+    ]
+    df = spark.createDataFrame(ts_rows, "ts timestamp, tb int")
+    stats: dict = {}
+    got = (
+        sort_ops.with_global_position(df, "ts", "tb", stats=stats)
+        .orderBy("global_pos")
+        .select("ts", "tb", "global_pos")
+        .collect()
+    )
+    assert stats["n_buckets"] >= 2, "timestamp bounds empty — grow the fixture"
+    assert [r["global_pos"] for r in got] == list(range(1, 4001))
+    assert [(r["ts"], r["tb"]) for r in got] == sorted(ts_rows)
+
+    f_rows = [
+        (float("nan") if i % 211 == 0 else ((i * 7919) % 4000) / 16.0, i)
+        for i in range(4000)
+    ]
+    fdf = spark.createDataFrame(f_rows, "v double, tb int")
+    stats = {}
+    fgot = (
+        sort_ops.with_global_position(fdf, "v", "tb", stats=stats)
+        .orderBy("global_pos")
+        .select("v", "tb", "global_pos")
+        .collect()
+    )
+    assert stats["n_buckets"] >= 2, "float bounds empty — grow the fixture"
+    assert [r["global_pos"] for r in fgot] == list(range(1, 4001))
+    expect = sorted(
+        f_rows,
+        key=lambda r: (math.isnan(r[0]), 0.0 if math.isnan(r[0]) else r[0], r[1]),
+    )
+    assert [
+        ((r["v"] if not math.isnan(r["v"]) else "nan"), r["tb"]) for r in fgot
+    ] == [((v if not math.isnan(v) else "nan"), tb) for v, tb in expect]
