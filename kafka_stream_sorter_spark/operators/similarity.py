@@ -337,16 +337,27 @@ def embedding_near_dup_pairs(
     multiprobe's ``hamming`` and IVF's ``n_probe``): a pair is a candidate
     when it shares the bucket of ANY of ``n_bands`` independent 6-bit
     plane sets, lifting blocking recall from p to 1-(1-p)^B for ~B× the
-    candidate volume. Planted-pair measurement at 110k vectors
+    candidate volume. Planted-pair measurement at 108k vectors
     (scripts/probe_dedup_recall.py, SCALING.md round-7): cosine-0.999
     recall 0.92 / 0.994+ at n_bands 1 / 2. Default 1 is the registered
     query's contract (bit-identical plan and output, band-0 bucket
     emitted). Each qualifying pair is emitted ONCE — at its first
     matching band (reference-band filter, the same no-dedup-shuffle trick
-    as the interval overlap join) — so no distinct pass is needed. The
-    multi-band self-join exchanges only a slim (vec_id, band, bucket,
-    bk*) projection; embeddings and norms re-attach by vec_id after the
-    band filter, so shuffle width stays independent of dimensionality.
+    as the interval overlap join) — so no distinct pass is needed.
+
+    Shuffle-shape note (deliberate): the multi-band self-join carries the
+    full embedding and ``_norm`` through BOTH sides of the exchange, so
+    pre-join shuffle volume grows ~n_bands × corpus width — LINEAR in
+    corpus size, and the price of keeping the cosine filter INLINE in the
+    join stage so the within-bucket-QUADRATIC candidate pair set is
+    filtered where it is generated and never materialized. The "slim"
+    alternative (exchange only (vec_id, band, bucket, bk*), re-attach
+    embeddings by vec_id after the band filter) was implemented and
+    REVERTED in r8: re-attaching forces the ~quadratic candidate set
+    through two more shuffle joins — at the 108k-vector recall probe that
+    is ~10⁸ pairs × 64-double rows, which spilled past the machine's
+    ~80 GB of scratch disk and died ENOSPC (SCALING.md round-8), where
+    this shape runs in seconds. Wide-but-linear beats slim-but-quadratic.
 
     Threshold note: on a real corpus use ~0.99+; the synthetic fixture's
     embeddings are isotropic random unit vectors (no true near-dups exist at
@@ -387,13 +398,11 @@ def embedding_near_dup_pairs(
             ],
         )
     )
-    # The explode x n_bands self-join carries only a slim (vec_id, bk*,
-    # band, bucket) projection through both sides of the exchange — the
-    # 64-d embedding and _norm would multiply shuffle volume ~n_bands x
-    # on each side. They are re-attached by vec_id AFTER the band filter,
-    # when only surviving candidate pairs remain.
-    slim = emb.select("vec_id", *[f"bk{i}" for i in range(n_bands)])
-    ex = slim.withColumn(
+    # Carry embedding + _norm through the explode × n_bands self-join (see
+    # the docstring's shuffle-shape note: this keeps the cosine filter in
+    # the join stage, so the within-bucket-quadratic candidate set is
+    # consumed where it is generated, never exchanged).
+    ex = emb.withColumn(
         "band", F.explode(F.array(*[F.lit(i) for i in range(n_bands)]))
     ).withColumn(
         "bucket",
@@ -410,7 +419,7 @@ def embedding_near_dup_pairs(
             F.col(f"a.bk{j - 1}") != F.col(f"b.bk{j - 1}")
         )
         ref = ref.when(F.col("a.band") == j, no_earlier)
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -422,28 +431,12 @@ def embedding_near_dup_pairs(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.bucket").alias("bucket"),
-        )
-    )
-    ea = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("_norm").alias("norm_a"),
-    )
-    eb = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("_norm").alias("norm_b"),
-    )
-    return (
-        pairs.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            "bucket",
             F.round(
                 cosine_with_norms(
-                    F.col("emb_a"), F.col("emb_b"), F.col("norm_a"), F.col("norm_b")
+                    F.col("a.embedding"),
+                    F.col("b.embedding"),
+                    F.col("a._norm"),
+                    F.col("b._norm"),
                 ),
                 6,
             ).alias("cos_sim"),

@@ -352,6 +352,7 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
             n_buckets=len(bounds) + 1,
             populated_buckets=len(by_bucket),
             total_rows=acc,
+            max_bucket_rows=max(by_bucket.values()) if by_bucket else 0,
         )
     off_arr = F.lit([int(v) for v in offs])  # one py4j call → array<long> literal
     w = Window.partitionBy("_gp_bucket").orderBy(*[c.asc() for c in kcols])
