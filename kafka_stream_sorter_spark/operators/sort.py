@@ -167,8 +167,11 @@ def keyed_fanout(df: DataFrame, key_specs: dict[str, list[str]]) -> dict[str, Da
 #: pay a near-trivial bucket expression while big ones fan the window
 #: stage out to the cap; the per-row bucket lookup is a balanced decision
 #: tree, log2(buckets) struct comparisons (≤10 at the cap). A saturated
-#: sample (cap hit) means the table is beyond estimate range → use the
-#: full fan-out.
+#: sample (cap hit) triggers a second pass: exact sample count, then a
+#: deterministic re-sample at a coarser power-of-two mod that fits the
+#: cap WITHOUT limit truncation — a bare ``limit`` would keep only the
+#: first-scheduled scan partitions' rows, which on key-clustered input
+#: biases the bounds to the leading key slice (probe_gp_clustered.py).
 GP_SAMPLE_MOD = 256
 GP_SAMPLE_CAP = 100_000
 GP_TARGET_ROWS_PER_BUCKET = 16_384
@@ -197,14 +200,21 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
     offset — SURVEY.md §3.1 step 5). A window over *no* partition would
     serialize the table through one task; instead:
 
-    1. **Boundary sample** (one cheap job, key columns only — parquet
+    1. **Boundary sample** (cheap jobs, key columns only — parquet
        prunes the rest): rows where ``pmod(hash(keys), GP_SAMPLE_MOD) = 0``
        — a pure function of the key VALUES — sorted Spark-side, thinned to
-       n_buckets-1 boundary tuples, collected as literals. n_buckets
+       n_buckets-1 boundary tuples, collected as literals. If the
+       collection cap truncates, a second pass counts the sample exactly
+       and re-samples at a coarser power-of-two mod that fits the cap
+       untruncated — layout-independent where a bare ``limit`` keeps only
+       the first-scheduled (on clustered input: lowest-key) partitions'
+       rows and piles the underrepresented key range into giant buckets
+       (366× ideal skew measured at 50M — one window task holding 9% of
+       the table; probe_gp_clustered.py, SCALING.md round-8). n_buckets
        targets ~GP_TARGET_ROWS_PER_BUCKET rows per window task from the
        sample-estimated table size, clamped to GP_MAX_BUCKETS — tiny
        tables get a near-trivial expression, big ones fan the window
-       stage out to the cap (a saturated sample forces the cap).
+       stage out to the cap.
     2. **Bucket** every row by binary search over the boundary literals —
        log2(n_buckets) lexicographic comparisons per row, not a linear
        scan. The bounds live in one constant-folded PER-FIELD array
@@ -249,33 +259,55 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
     """
     kcols = [F.col(k) for k in keys]
     fields = [c.alias(f"f{i}") for i, c in enumerate(kcols)]
-    sample = (
-        df.select(F.struct(*fields).alias("kt"))
-        .where(F.pmod(F.hash(*kcols), F.lit(GP_SAMPLE_MOD)) == 0)
-        .limit(GP_SAMPLE_CAP)
-    )
+
+    def _key_sample(mod: int) -> DataFrame:
+        return df.select(F.struct(*fields).alias("kt")).where(
+            F.pmod(F.hash(*kcols), F.lit(mod)) == 0
+        )
+
     # Spark-side sort: boundary order must be SPARK's ascending order
     # (Python sorted() over mixed/string keys need not agree — see
-    # sort_with_tiebreak's float/NaN gate for the failure class), and
-    # boundary tuples must be null-free because F.lit(None) yields a
-    # VOID-typed literal the struct comparison can't type-resolve (the
+    # sort_with_tiebreak's float/NaN gate for the failure class).
+    # Boundary tuples must be null-free because F.lit(None) yields a
+    # VOID-typed literal the comparison can't type-resolve (the
     # comparison itself is a total order and handles null row keys fine;
-    # dropping null candidates only biases bucket sizing, not order).
-    cand = [
-        r["kt"]
-        for r in sample.where(
-            ~F.exists(F.array(*[F.col("kt")[f"f{i}"].isNull() for i in range(len(keys))]), lambda x: x)
+    # dropping null candidates only biases bucket sizing, not order) —
+    # filtered driver-side so truncation detection sees the raw count.
+    collected = _key_sample(GP_SAMPLE_MOD).limit(GP_SAMPLE_CAP).orderBy("kt").collect()
+    if len(collected) >= GP_SAMPLE_CAP:
+        # The limit truncated. A bare limit keeps whichever rows reach the
+        # GlobalLimit reducer first — the FIRST-SCHEDULED scan partitions,
+        # which on key-clustered input (time-ordered logs, sorted
+        # compactions — the normal 100 TB layout) are the LOWEST keys: the
+        # bounds would underrepresent the rest of the key range and pile
+        # it into giant buckets, serializing the window stage (measured at
+        # 50M: skew 366× ideal, one task holding 9% of the table —
+        # scripts/probe_gp_clustered.py, SCALING.md round-8).
+        # Two-phase recovery: count the level-1 sample exactly (keys-only
+        # scan), then re-sample at a power-of-two multiple of the mod so
+        # the expected size fits the cap WITHOUT a limit — a deterministic
+        # nested subset (pmod(h, 256k) = 0 ⊆ pmod(h, 256) = 0), uniform
+        # across the key range regardless of physical layout.
+        cnt = _key_sample(GP_SAMPLE_MOD).count()
+        extra = 1
+        while cnt > extra * GP_SAMPLE_CAP:
+            extra *= 2
+        # the trailing limit is only a driver-OOM guard for degenerate key
+        # sets where one hash value carries the whole sample (then bounds
+        # are duplicated tuples — harmless); expected size is ≤ the cap
+        collected = (
+            _key_sample(GP_SAMPLE_MOD * extra)
+            .limit(8 * GP_SAMPLE_CAP)
+            .orderBy("kt")
+            .collect()
         )
-        .orderBy("kt")
-        .collect()
-    ]
-    if len(cand) >= GP_SAMPLE_CAP // 2:  # saturated sample: beyond estimate range
-        n_buckets = GP_MAX_BUCKETS
+        est_rows = cnt * GP_SAMPLE_MOD
     else:
-        est_rows = len(cand) * GP_SAMPLE_MOD
-        # floor 2: one bucket would make _gp_bucket a foldable constant,
-        # which Catalyst folds into an UNPARTITIONED window (single task)
-        n_buckets = min(GP_MAX_BUCKETS, max(2, est_rows // GP_TARGET_ROWS_PER_BUCKET))
+        est_rows = len(collected) * GP_SAMPLE_MOD
+    cand = [r["kt"] for r in collected if not any(v is None for v in r["kt"])]
+    # floor 2: one bucket would make _gp_bucket a foldable constant,
+    # which Catalyst folds into an UNPARTITIONED window (single task)
+    n_buckets = min(GP_MAX_BUCKETS, max(2, est_rows // GP_TARGET_ROWS_PER_BUCKET))
     step = max(1, (len(cand) + n_buckets - 1) // n_buckets)
     bounds = cand[step - 1 :: step][: n_buckets - 1]
 
