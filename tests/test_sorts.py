@@ -351,3 +351,59 @@ def test_with_global_position_timestamp_and_float_nan_keys(spark):
     assert [
         ((r["v"] if not math.isnan(r["v"]) else "nan"), r["tb"]) for r in fgot
     ] == [((v if not math.isnan(v) else "nan"), tb) for v, tb in expect]
+
+
+def test_with_global_position_saturated_sample_is_layout_independent(
+    spark, monkeypatch, tmp_path
+):
+    """r8: the boundary sample used to be collected through a bare
+    ``limit``, which keeps the first-scheduled scan partitions' rows — on
+    key-clustered input a contiguous lowest-key slice, measured at 50M as
+    366x-ideal bucket skew (scripts/probe_gp_clustered.py). The fix
+    re-samples at a coarser deterministic mod when the cap truncates.
+    Positions are exact under ANY bounds, so this pins the fix by the two
+    things positions can't show: the saturated path must yield (a)
+    IDENTICAL bounds/stats for clustered vs scattered layouts of the same
+    rows (the sample is a pure function of key values) and (b) sane
+    balance on the clustered layout. Cap/mod are shrunk so the toy table
+    saturates the level-1 sample exactly like 50M does in production."""
+    monkeypatch.setattr(sort_ops, "GP_SAMPLE_MOD", 4)
+    monkeypatch.setattr(sort_ops, "GP_SAMPLE_CAP", 64)
+    # target sized so bounds are thinned from ~8 samples each (the
+    # production regime — 97k samples / ≤4096 buckets ≈ 24 per bound);
+    # 1-sample-per-bound bucket sizes are exponentially spaced and their
+    # max runs 4-6x ideal at ANY scale, which would test the sampler's
+    # variance, not the layout fix
+    monkeypatch.setattr(sort_ops, "GP_TARGET_ROWS_PER_BUCKET", 4096)
+    n = 20_000  # level-1 sample ~n/4 = 5000 >> cap 64 -> two-phase engages
+    base = spark.range(0, n, 1, 8).select(
+        F.pmod(F.col("id") * F.lit(7919), F.lit(n)).alias("k")
+    )
+    base.orderBy("k").write.mode("overwrite").parquet(str(tmp_path / "clustered"))
+    base.write.mode("overwrite").parquet(str(tmp_path / "scattered"))
+
+    results = {}
+    for label in ("clustered", "scattered"):
+        src = spark.read.parquet(str(tmp_path / label))
+        stats: dict = {}
+        out = sort_ops.with_global_position(src, "k", stats=stats)
+        agg = out.agg(
+            F.count("*").alias("cnt"),
+            F.min("global_pos").alias("mn"),
+            F.max("global_pos").alias("mx"),
+            F.sum((F.col("global_pos") != F.col("k") + 1).cast("int")).alias("bad"),
+        ).collect()[0]
+        # k is a bijective permutation of [0, n): position == k+1 exactly
+        assert (agg["cnt"], agg["mn"], agg["mx"], agg["bad"]) == (n, 1, n, 0)
+        results[label] = stats
+    assert results["clustered"] == results["scattered"], (
+        "saturated-path bounds depend on physical layout: "
+        f"{results['clustered']} vs {results['scattered']}"
+    )
+    st = results["clustered"]
+    assert st["n_buckets"] > 1
+    ideal = n / st["n_buckets"]
+    assert st["max_bucket_rows"] <= 2.5 * ideal, (
+        f"clustered-layout bucket skew {st['max_bucket_rows'] / ideal:.1f}x ideal "
+        f"(stats={st})"
+    )
