@@ -173,22 +173,36 @@ def keyed_fanout(df: DataFrame, key_specs: dict[str, list[str]]) -> dict[str, Da
 #: first-scheduled scan partitions' rows, which on key-clustered input
 #: biases the bounds to the leading key slice (probe_gp_clustered.py).
 GP_SAMPLE_MOD = 256
-GP_SAMPLE_CAP = 100_000
+#: 300k (raised from 100k in late r8): the cap bounds ONE driver collect
+#: of slim key tuples (~tens of MB) — cheap — and with the two-phase
+#: sampler its only other effect is boundary RESOLUTION: bounds are
+#: thinned from the collected sample, so samples-per-boundary =
+#: resample_size / n_buckets, and the resample lands in
+#: (cap/2, cap]. 100k gave ~12 samples/boundary at an 8192-bucket
+#: fan-out — the balance-degradation ceiling the round-8 cap probe hit;
+#: 300k gives ~35, restoring the ~24/boundary regime the 4096 cap
+#: enjoys at the 100k cap.
+GP_SAMPLE_CAP = 300_000
 GP_TARGET_ROWS_PER_BUCKET = 16_384
-#: 4096 (raised from 1024 in r8 after the per-field literal rewrite made
-#: plan construction O(fields)): at 50M the 4096 walls match 1024 within
-#: the noise band (builds ~10 s both, SCALING.md round-8), and the higher
-#: cap quadruples the final window stage's MAXIMUM parallelism — at
-#: 100 TB that is ~25 GB per window task instead of ~100 GB (the actual
-#: task count is min(spark.sql.shuffle.partitions, populated buckets),
-#: so clusters must raise shuffle partitions to collect the benefit).
-#: 8192 was probed and rejected: GP_SAMPLE_CAP is the next ceiling — a
-#: 100k-row sample thins to ~12 rows per boundary (only 7693 buckets
-#: materialized), degrading bucket balance, and the 50M walls regressed.
-#: Raising the cap past 8192 therefore requires raising GP_SAMPLE_CAP
-#: (driver collect grows linearly) — not worth it below ~1000-executor
-#: deployments.
-GP_MAX_BUCKETS = 4096
+#: 8192 (1024 → 4096 → 8192 across r8 as each ceiling fell): 1024's
+#: ceiling was plan construction (fixed by the per-field literal build,
+#: O(fields) py4j calls); 4096's was boundary-sample RESOLUTION — the
+#: 100k cap thinned to ~12 samples per boundary at 8192 and only 7693
+#: buckets materialized — fixed by the two-phase sampler + the 300k cap
+#: (~35/boundary). Probed at 150M rows, the first scale where the
+#: est-driven bucket count actually exceeds 4096: all ~8130 buckets
+#: materialize, balance ~2× ideal, walls within window noise of the
+#: 4096 control, correctness exact (SCALING.md round-8, second 8192
+#: probe). Each doubling halves the final window stage's MAXIMUM
+#: per-task slice — ~12 GB at 100 TB (the actual task count is
+#: min(spark.sql.shuffle.partitions, populated buckets), so clusters
+#: must raise shuffle partitions to collect the benefit). The per-row
+#: cost of further raises is one extra binary-search level per
+#: doubling; the binding costs are now the boundary-literal array
+#: (8191 × fields longs in the plan) and the counts collect (≤8192
+#: rows) — both driver-trivial, so 16384+ is open if a deployment
+#: needs it.
+GP_MAX_BUCKETS = 8192
 
 
 def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -> DataFrame:
