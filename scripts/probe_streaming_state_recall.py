@@ -18,6 +18,19 @@ EXACTNESS, not just throughput:
      all batches; the streaming result must equal the batch engine's
      top-k EXACTLY (set equality on (event_id, value_micros), both
      orders checked via the shared tie-break policy).
+  3. stream-stream interval join (stream_stream_interval_join
+     semantics, late r8): a time-ordered stream (ts monotone in id,
+     files = range slices = micro-batches) where each user alternates
+     view/click every ~45 min, so each view matches exactly the next
+     click (+45 min < 2 h) and ~1/6 of the matched pairs have view and
+     click in DIFFERENT micro-batches — the pair only exists if the
+     view's join state survives the batch handoff. Watermark is a
+     REALISTIC 1 h (not the registered query's drain-everything bound),
+     so state eviction actively runs: peak join-state rows from query
+     progress must stay far below total views (state tracks the time
+     window, not the stream), while the emitted pair set must equal the
+     batch engine's identical-predicate join EXACTLY (both-way
+     anti-join counts, distributed).
 
 Usage: python scripts/probe_streaming_state_recall.py [n_rows] [n_batches]
 Defaults: 50_000_000, 8. Run EXCLUSIVELY (CLAUDE.md timing rules).
@@ -163,6 +176,147 @@ def main() -> None:
             "k": K,
             "exact": got_rows == exact_rows,
             "missing": len(exact_rows - got_rows),
+        }
+
+        # --- 3. stream-stream interval join, bounded state ---------------
+        # ts = base + id * 2.7 ms: same-user events (ids N_USERS apart)
+        # are 45 min apart and alternate view/click by (id // N_USERS)
+        # parity, so every view matches exactly its user's next click
+        # (+45 min, inside the 2 h window; the one after is +135 min,
+        # outside). Files are RANGE slices of id = time slices, replayed
+        # one per trigger: consecutive same-user events land in different
+        # files for ~1/6 of pairs (1M-id spacing vs 6.25M-id slices).
+        dt_us = 2700
+        base_us = 1_704_067_200_000_000
+        src2 = os.path.join(tmp, "src2")
+        t0 = time.perf_counter()
+        spark.range(0, N, 1, 64).select(
+            F.col("id").alias("event_id"),
+            F.pmod(F.col("id"), F.lit(N_USERS)).alias("user_id"),
+            F.when(
+                F.pmod(F.floor(F.col("id") / N_USERS), F.lit(2)) == 0, F.lit("view")
+            )
+            .otherwise(F.lit("click"))
+            .alias("event_type"),
+            F.timestamp_micros(
+                F.lit(base_us) + F.col("id") * F.lit(dt_us)
+            ).alias("ts"),
+        ).repartitionByRange(N_BATCHES, "id").write.mode("overwrite").parquet(src2)
+        # FileStreamSource orders micro-batches by file MODIFICATION TIME,
+        # not name; the 8 range-partition files are written concurrently
+        # with near-identical mtimes, so replay order would be arbitrary —
+        # and any batch delivered after the watermark passed its time range
+        # is dropped wholesale as late input (first run of this probe: 69%
+        # of pairs lost exactly this way). A real time-ordered log delivers
+        # in time order; reproduce that by stamping strictly increasing
+        # mtimes in partition (= time-slice) order.
+        parts = sorted(
+            f for f in os.listdir(src2) if f.endswith(".parquet")
+        )  # part-0000N sorts by N = range-partition index = time order
+        t_base = int(time.time()) - 2 * len(parts)
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(src2, f), (t_base + 2 * i, t_base + 2 * i))
+        produce2 = round(time.perf_counter() - t0, 1)
+        batch2 = spark.read.parquet(src2)
+        schema2 = batch2.schema
+
+        ev = (
+            spark.readStream.schema(schema2)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src2)
+        )
+        views = (
+            ev.filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "1 hour")
+        )
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "1 hour")
+        )
+        cond = F.expr(
+            "v_user = c_user AND click_ts > view_ts "
+            "AND click_ts <= view_ts + interval 2 hours"
+        )
+        out3 = os.path.join(tmp, "join_out")
+        t0 = time.perf_counter()
+        q = (
+            views.join(clicks, cond)
+            .select("view_id", "click_id")
+            .writeStream.format("parquet")
+            .option("path", out3)
+            .option("checkpointLocation", os.path.join(tmp, "ck3"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        progs = []
+        for p in q.recentProgress:  # dicts in some pyspark versions,
+            if isinstance(p, dict):  # StreamingQueryProgress objects in others
+                progs.append(p)
+            else:
+                j = p.json
+                progs.append(json.loads(j() if callable(j) else j))
+        peak_state = max(
+            (
+                so["numRowsTotal"]
+                for p in progs
+                for so in (p.get("stateOperators") or [])
+            ),
+            default=-1,
+        )
+        got3 = spark.read.parquet(out3)
+        bv = batch2.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        bc = batch2.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        truth3 = bv.join(bc, cond).select("view_id", "click_id")
+        keys = ["view_id", "click_id"]
+        missing = truth3.join(got3, keys, "left_anti").count()
+        extra = got3.join(truth3, keys, "left_anti").count()
+        n_pairs = got3.count()
+        # planted-coverage check: pairs whose two events sit in different
+        # batch files (view state must survive ≥1 handoff to emit them)
+        fname = F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
+        ef = batch2.select("event_id", fname.alias("f"))
+        cross = (
+            truth3.join(ef.withColumnRenamed("event_id", "view_id"), "view_id")
+            .withColumnRenamed("f", "vf")
+            .join(ef.withColumnRenamed("event_id", "click_id"), "click_id")
+            .filter(F.col("vf") != F.col("f"))
+            .count()
+        )
+        n_views = bv.count()
+        results["stream_stream_interval_join"] = {
+            "produce_sec": produce2,
+            "sec": round(dt, 1),
+            "rows_per_sec": int(N / dt),
+            "pairs": n_pairs,
+            "pairs_cross_batch": cross,
+            "pairs_cross_batch_pct": round(100.0 * cross / max(1, n_pairs), 2),
+            "missing_vs_batch": missing,
+            "extra_vs_batch": extra,
+            "exact": missing == 0 and extra == 0,
+            "peak_join_state_rows": peak_state,
+            "total_views": n_views,
+            "state_vs_views_pct": round(100.0 * peak_state / max(1, n_views), 2),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
