@@ -80,16 +80,17 @@ def main() -> None:
     # One synthetic event table, materialized TWICE with different physical
     # layouts of the SAME rows: event_ts is a bijective permutation of
     # [0, N) (unique total order, so positions are fully determined and the
-    # two layouts must agree row-for-row).
+    # two layouts must agree row-for-row). event_type adds the 2-key shape:
+    # 8-value string leading key + unique tiebreak (the keyed_fanout
+    # contract's adversarial case — ties span buckets only via the
+    # tiebreak field, and the string exercises the per-field comparison).
     events = spark.range(0, N_ROWS, 1, 64).select(
         F.pmod(F.col("id") * F.lit(2654435761), F.lit(N_ROWS)).alias("event_ts"),
+        F.concat(F.lit("type_"), F.pmod(F.xxhash64("id"), F.lit(8))).alias(
+            "event_type"
+        ),
         F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1_000_000)).alias("user_id"),
     )
-    # clustered: globally sorted by the sort key -> scan partition i holds
-    # keys strictly below partition i+1 (the time-ordered-log layout)
-    events.orderBy("event_ts").write.mode("overwrite").parquet(f"{SCRATCH}/clustered")
-    # scattered control: the layout every earlier probe used
-    events.write.mode("overwrite").parquet(f"{SCRATCH}/scattered")
 
     report: dict = {
         "probe": "gp_clustered_r8",
@@ -99,43 +100,76 @@ def main() -> None:
         "configs": {},
     }
 
-    for label in ("clustered", "scattered"):
-        src = spark.read.parquet(f"{SCRATCH}/{label}")
-        stats: dict = {}
-        t0 = time.perf_counter()
-        pos_df = sort_ops.with_global_position(src, "event_ts", stats=stats)
-        t_mid = time.perf_counter()
-        pos_df.write.mode("overwrite").parquet(f"{SCRATCH}/pos_{label}")
-        wall = round(time.perf_counter() - t0, 1)
-        ideal = stats["total_rows"] / stats["n_buckets"]
-        rec = {
-            "wall_sec": wall,
-            "position_build_sec": round(t_mid - t0, 1),
-            "write_sec": round(time.perf_counter() - t_mid, 1),
-            "balance_skew_max_over_ideal": round(stats["max_bucket_rows"] / ideal, 2),
-            **stats,
-        }
+    for key_label, keys in {
+        "unique_key": ["event_ts"],
+        "low_card_plus_tiebreak": ["event_type", "event_ts"],
+    }.items():
+        # clustered: globally sorted by THIS config's sort keys -> scan
+        # partition i holds keys strictly below partition i+1 (the
+        # time-ordered-log / sorted-compaction layout)
+        events.orderBy(*keys).write.mode("overwrite").parquet(
+            f"{SCRATCH}/clustered"
+        )
+        # scattered control: the layout every earlier probe used
+        events.write.mode("overwrite").parquet(f"{SCRATCH}/scattered")
+
+        for label in ("clustered", "scattered"):
+            src = spark.read.parquet(f"{SCRATCH}/{label}")
+            stats: dict = {}
+            t0 = time.perf_counter()
+            pos_df = sort_ops.with_global_position(src, *keys, stats=stats)
+            t_mid = time.perf_counter()
+            pos_df.write.mode("overwrite").parquet(f"{SCRATCH}/pos_{label}")
+            wall = round(time.perf_counter() - t0, 1)
+            ideal = stats["total_rows"] / stats["n_buckets"]
+            rec = {
+                "keys": keys,
+                "wall_sec": wall,
+                "position_build_sec": round(t_mid - t0, 1),
+                "write_sec": round(time.perf_counter() - t_mid, 1),
+                "balance_skew_max_over_ideal": round(
+                    stats["max_bucket_rows"] / ideal, 2
+                ),
+                **stats,
+            }
+            if VERIFY:
+                out = spark.read.parquet(f"{SCRATCH}/pos_{label}")
+                agg = out.agg(
+                    F.count("*").alias("n"),
+                    F.min("global_pos").alias("mn"),
+                    F.max("global_pos").alias("mx"),
+                    F.sum("global_pos").alias("s"),
+                ).collect()[0]
+                rec["count_sum_conserved"] = (
+                    agg["n"] == N_ROWS
+                    and agg["mn"] == 1
+                    and agg["mx"] == N_ROWS
+                    and agg["s"] == N_ROWS * (N_ROWS + 1) // 2
+                )
+                if len(keys) == 1:
+                    # position == key rank: event_ts is the permutation of
+                    # [0, N), so global_pos must equal event_ts+1 — full-
+                    # strength exactness with no self-join needed.
+                    rec["rank_mismatches"] = out.filter(
+                        F.col("global_pos") != F.col("event_ts") + 1
+                    ).count()
+            report["configs"][f"{key_label}_{label}"] = rec
+
         if VERIFY:
-            out = spark.read.parquet(f"{SCRATCH}/pos_{label}")
-            agg = out.agg(
-                F.count("*").alias("n"),
-                F.min("global_pos").alias("mn"),
-                F.max("global_pos").alias("mx"),
-                F.sum("global_pos").alias("s"),
-            ).collect()[0]
-            rec["count_sum_conserved"] = (
-                agg["n"] == N_ROWS
-                and agg["mn"] == 1
-                and agg["mx"] == N_ROWS
-                and agg["s"] == N_ROWS * (N_ROWS + 1) // 2
+            # Layout equivalence, row-for-row: positions are a pure
+            # function of row values, so the two layouts must assign the
+            # SAME position to the same event_ts (unique id). This is the
+            # 2-key exactness check (the closed-form rank only exists for
+            # the single-key config).
+            a = spark.read.parquet(f"{SCRATCH}/pos_clustered").select(
+                "event_ts", F.col("global_pos").alias("pa")
             )
-            # position == key rank: event_ts is the permutation of [0, N),
-            # so under ORDER BY event_ts, global_pos must equal event_ts+1
-            # — a full-strength exactness check with no self-join needed.
-            rec["rank_mismatches"] = out.filter(
-                F.col("global_pos") != F.col("event_ts") + 1
-            ).count()
-        report["configs"][label] = rec
+            b = spark.read.parquet(f"{SCRATCH}/pos_scattered").select(
+                "event_ts", F.col("global_pos").alias("pb")
+            )
+            report["configs"][f"{key_label}_clustered"][
+                "cross_layout_pos_mismatches"
+            ] = a.join(b, "event_ts").filter(F.col("pa") != F.col("pb")).count()
 
     shutil.rmtree(SCRATCH, ignore_errors=True)
     report["calib_matmul_sec"] = {"before": c_before, "after": calib()}
