@@ -18,6 +18,18 @@ At scale the memory sink below becomes a Kafka/parquet sink; the operators
 are sink-agnostic. State stores shard by groups across executors — the
 watermark/session/dedup operators shuffle once on their grouping keys,
 exactly like their batch analogues.
+
+Batch-disorder law (50M probe, SCALING.md round 8): the watermark delay
+must exceed the BATCH-LEVEL delivery disorder — how far event time can run
+backwards between consecutive micro-batches — or rows are silently dropped
+(a 1h delay lost 69% of stream-stream join pairs when files replayed in
+mtime order). Bounded replays of time-unordered files have disorder up to
+the full corpus span, so every registered query uses
+queries/streaming.DRAIN_WATERMARK (3650 days), enforced by
+tests/test_streaming.py::test_registered_watermarks_are_the_drain_constant.
+A LIVE deployment must instead set the delay from its delivery SLA
+(p99.9 end-to-end lateness), never from memory pressure — state size is
+the watermark's consequence, not its tuning target.
 """
 
 from __future__ import annotations

@@ -151,3 +151,79 @@ def test_batch_and_stream_sessionization_agree(spark, sf_dir):
     batch_rows = sess.groupBy("user_id", "sid").agg(F.count(F.lit(1)).alias("n_events"))
     want = Counter((r.user_id, r.n_events) for r in batch_rows.collect())
     assert got == want
+
+
+def test_registered_watermarks_are_the_drain_constant():
+    """Pin the batch-disorder law (SCALING.md round-8 streaming probe):
+    a bounded AvailableNow replay delivers files in mtime order, so event
+    TIME interleaves arbitrarily across micro-batches — any watermark
+    smaller than the batch-level delivery disorder silently drops rows
+    (measured: a 1h watermark lost 69% of interval-join pairs at 50M).
+    Registered queries are immune ONLY because every withWatermark call
+    in the engine passes DRAIN_WATERMARK (3650 days > any replayed span).
+
+    This test makes the unsafe regime unreachable by edit: every
+    ``withWatermark`` call site inside the package must pass the
+    DRAIN_WATERMARK *symbol* (not a literal), and the constant must
+    exceed the largest fixture's event-time span by a wide margin.
+    A live deployment tunes the lateness SLA instead — see the
+    DRAIN_WATERMARK rationale in queries/streaming.py.
+    """
+    import ast
+    import glob
+    import os
+    import re
+
+    import kafka_stream_sorter_spark as pkg
+    from kafka_stream_sorter_spark.queries.streaming import DRAIN_WATERMARK
+
+    pkg_dir = os.path.dirname(pkg.__file__)
+    call_sites = []
+    for path in glob.glob(os.path.join(pkg_dir, "**", "*.py"), recursive=True):
+        tree = ast.parse(open(path).read(), filename=path)
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "withWatermark"
+            ):
+                call_sites.append((path, node))
+    # the engine does use watermarks (sanity: the scan isn't vacuous)
+    assert len(call_sites) >= 6, call_sites
+    offenders = [
+        f"{p}:{n.lineno}"
+        for p, n in call_sites
+        if not (
+            len(n.args) == 2
+            and isinstance(n.args[1], ast.Name)
+            and n.args[1].id == "DRAIN_WATERMARK"
+        )
+    ]
+    assert not offenders, (
+        "withWatermark call sites not using the DRAIN_WATERMARK constant "
+        f"(batch-disorder law, see this test's docstring): {offenders}"
+    )
+
+    # the constant itself must dwarf any fixture's replayed span
+    m = re.fullmatch(r"(\d+)\s+days?", DRAIN_WATERMARK)
+    assert m, f"DRAIN_WATERMARK not in 'N days' form: {DRAIN_WATERMARK!r}"
+    drain_days = int(m.group(1))
+    import duckdb
+
+    span_days = 0.0
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/events.parquet"
+        if not os.path.exists(path):
+            continue
+        lo, hi = duckdb.sql(
+            f"SELECT min(ts), max(ts) FROM read_parquet('{path}/*.parquet')"
+            if os.path.isdir(path)
+            else f"SELECT min(ts), max(ts) FROM read_parquet('{path}')"
+        ).fetchone()
+        span_days = max(span_days, (hi - lo).total_seconds() / 86400)
+    assert span_days > 0
+    assert drain_days > 10 * span_days, (
+        f"DRAIN_WATERMARK ({drain_days}d) too close to the fixture span "
+        f"({span_days:.1f}d) — the bounded replay would re-enter the "
+        "batch-disorder drop regime"
+    )
