@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import gc
 import logging
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -371,23 +372,79 @@ def connected_dedup_groups(
     # the touched subgraph (dup pairs are a sliver of any real corpus) makes
     # each round's join proportional to the duplicate graph, not the corpus
     # — the full node set rejoins once at the end.
-    sym = sym.localCheckpoint()
+    # LAZY localCheckpoint + count: marking the RDD for local checkpointing
+    # and letting the count job materialize it folds (checkpoint job +
+    # count job) into ONE job — the blocks persist as a side effect of the
+    # first action that computes them, and lineage truncates identically.
+    # (r8 verdict #3: the loop's 2-jobs-per-round was why wall time swung
+    # 4.0-5.1 s with bit-identical code — every job resamples VM noise.)
+    sym = sym.localCheckpoint(eager=False)
     # Size the iteration to the FRONTIER, not the cluster: the duplicate
     # graph is a sliver of the corpus, and every round pays
     # (join + groupBy + checkpoint) × partitions in fixed overhead. The
-    # edge count is free to read off the just-materialized checkpoint;
-    # ~1M edges per partition keeps rounds dense at any scale (a 100 TB
-    # corpus with a billion dup edges still fans out to ~1000 tasks).
+    # edge count doubles as the checkpoint-materializing action — it runs
+    # under the CALLER's conf (AQE on), because it executes the caller's
+    # whole edge-building plan (e.g. an LSH bucket join), where AQE's
+    # skew/broadcast decisions matter. ~1M edges per partition keeps
+    # rounds dense at any scale (a 100 TB corpus with a billion dup edges
+    # still fans out to ~1000 tasks).
     n_edges = sym.count()
     parallelism = sym.sparkSession.sparkContext.defaultParallelism
     n_parts = int(max(1, min(parallelism, n_edges // 1_000_000 + 1)))
-    sym = sym.repartition(n_parts, "dst").localCheckpoint()
+    with _loop_conf(nodes.sparkSession, n_parts):
+        return _cc_loop(nodes, sym, n_parts, n_edges, max_iter, stats)
+
+
+@contextmanager
+def _loop_conf(spark, n_parts: int):
+    """Pin the CC loop's execution conf (restored on exit): AQE off,
+    shuffle width = the explicitly sized ``n_parts``.
+
+    Inside the loop AQE only adds jobs: every exchange becomes its own
+    query-stage job (~10 jobs/round measured at sf0.1, scripts/
+    probe_cc_jobs.py — 93 jobs → 14 with the bracket) while none of its
+    decisions apply — partition count is sized from the edge count, both
+    join inputs are checkpoint-backed, and skew means a hot component,
+    which salting can't split anyway (min-label is a holistic
+    per-component computation). With AQE off the intra-round shuffles
+    would fall back to the session's spark.sql.shuffle.partitions (32+
+    mostly-empty tasks per exchange at fixture scale), so the bracket
+    pins that to n_parts too — the same width AQE used to coalesce to,
+    now without the extra stage jobs. The final corpus-sized nodes⋈labels
+    join stays OUTSIDE the bracket: it is lazy and executes under the
+    caller's session conf, where AQE's broadcast-vs-shuffle choice is
+    exactly what we want (see the no-broadcast-hint note)."""
+    keys = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": str(n_parts),
+    }
+    old = {k: spark.conf.get(k) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def _cc_loop(
+    nodes: DataFrame,
+    sym: DataFrame,
+    n_parts: int,
+    n_edges: int,
+    max_iter: int,
+    stats: dict | None,
+) -> DataFrame:
+    # Both lazy: round 1's single job computes repartitioned edges AND the
+    # initial labels, caching both for every later round.
+    sym = sym.repartition(n_parts, "dst").localCheckpoint(eager=False)
     labels = (
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
         .repartition(n_parts, "doc_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     if stats is not None:
@@ -402,8 +459,11 @@ def connected_dedup_groups(
             .agg(F.min("label").alias("neigh_min"))
         )
         # The convergence signal rides the same projection (old label is
-        # already on the row) — no separate new-vs-old join per round; the
-        # count is a scan of the just-checkpointed rows.
+        # already on the row) — no separate new-vs-old join per round —
+        # AND the same job: the checkpoint is lazy, so the changed-count
+        # action below is the round's ONLY job, materializing the blocks
+        # while it counts. (The count's filter sits ABOVE the checkpoint
+        # boundary, so every partition/row is still computed and cached.)
         stepped = (
             labels.join(neigh, labels.doc_id == neigh.src, "left")
             .select(
@@ -415,7 +475,7 @@ def connected_dedup_groups(
                     F.coalesce(F.col("neigh_min"), F.col("label")) < F.col("label")
                 ).alias("_changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = stepped.filter(F.col("_changed")).count()
         labels = stepped.drop("_changed")

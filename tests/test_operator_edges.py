@@ -374,3 +374,62 @@ def test_tokenizer_whitespace_class_matches_duckdb_on_vertical_tab(spark):
         f"SELECT {SQL_TOKS} FROM (SELECT '{weird}' AS text)"
     ).fetchall()[0][0]
     assert spark_toks == duck_toks == ["a", "b", "c", "d"]
+
+
+def test_connected_components_restores_session_conf(spark):
+    """The CC loop pins (AQE off, shuffle width = n_parts) for its
+    per-round jobs via _loop_conf; the caller's session conf must come
+    back EXACTLY — including when the loop raises (max_iter exhaustion
+    fails loudly by design)."""
+    import pytest
+
+    from kafka_stream_sorter_spark.operators.dedup import connected_dedup_groups
+
+    keys = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    before = {k: spark.conf.get(k) for k in keys}
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], ["doc_a", "doc_b"]
+    )
+    connected_dedup_groups(nodes, edges).collect()
+    assert {k: spark.conf.get(k) for k in keys} == before
+
+    # failure path: a 6-node chain cannot converge in 1 round
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_dedup_groups(nodes, edges, max_iter=1)
+    assert {k: spark.conf.get(k) for k in keys} == before
+
+
+def test_connected_components_job_count_bounded(spark):
+    """Machine-independent pin of the r9 jobs-per-round fix (lazy
+    localCheckpoint folds the checkpoint job into the convergence count;
+    AQE off inside the loop stops per-exchange stage jobs): one run must
+    submit ≤ rounds + a small setup constant of Spark jobs. The eager-
+    checkpoint + AQE regime measured ~10 jobs/round (scripts/
+    probe_cc_jobs.py: 104 → 20 at sf0.1); this bound fails if either
+    regression returns."""
+    from kafka_stream_sorter_spark.operators.dedup import connected_dedup_groups
+
+    sc = spark.sparkContext
+    nodes = spark.createDataFrame([(i,) for i in range(40)], ["doc_id"])
+    # two 20-node chains: diameter 19 -> ~6 pointer-jumping rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)]
+        + [(20 + i, 21 + i) for i in range(19)],
+        ["doc_a", "doc_b"],
+    )
+    group = "cc_jobcount_probe"
+    sc.setJobGroup(group, "cc job-count bound")
+    stats: dict = {}
+    connected_dedup_groups(nodes, edges, stats=stats).collect()
+    sc.setJobGroup("cc_jobcount_idle", "idle")
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    # budget: 1 edge-count job (runs under caller conf, AQE stage jobs
+    # possible: +2 slack) + 1 job/round + the final collect (AQE again)
+    rounds = stats["rounds"]
+    assert rounds >= 5  # the shape really is multi-round
+    assert n_jobs <= rounds + 8, (
+        f"CC loop submitted {n_jobs} jobs for {rounds} rounds — "
+        "the per-round job fold regressed"
+    )
