@@ -205,6 +205,30 @@ GP_TARGET_ROWS_PER_BUCKET = 16_384
 GP_MAX_BUCKETS = 8192
 
 
+def _weighted_bounds(pairs: list, n_buckets: int) -> list:
+    """Thin a weighted, Spark-ascending-sorted sample to n_buckets-1
+    boundary tuples at equal WEIGHT quantiles.
+
+    ``pairs`` is [(key_tuple, weight)] where weight = how many sampled
+    rows carried that exact tuple — so a heavy key claims boundary slots
+    in proportion to its row count, exactly like the raw-row thinning it
+    replaces (duplicated bounds from a multi-quantile key are harmless:
+    they yield empty buckets, never wrong positions). Integer arithmetic
+    only (cum·n ≥ j·W), so quantile placement can't drift by a float ulp
+    across configs."""
+    total = sum(w for _, w in pairs)
+    bounds: list = []
+    cum, j = 0, 1
+    for kt, w in pairs:
+        cum += w
+        while j < n_buckets and cum * n_buckets >= j * total:
+            bounds.append(kt)
+            j += 1
+        if j >= n_buckets:
+            break
+    return bounds[: n_buckets - 1]
+
+
 def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -> DataFrame:
     """Attach the explicit global rank (1-based) under ORDER BY keys.
 
@@ -215,12 +239,15 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
     serialize the table through one task; instead:
 
     1. **Boundary sample** (cheap jobs, key columns only — parquet
-       prunes the rest): rows where ``pmod(hash(keys), GP_SAMPLE_MOD) = 0``
-       — a pure function of the key VALUES — sorted Spark-side, thinned to
-       n_buckets-1 boundary tuples, collected as literals. If the
-       collection cap truncates, a second pass counts the sample exactly
-       and re-samples at a coarser power-of-two mod that fits the cap
-       untruncated — layout-independent where a bare ``limit`` keeps only
+       prunes the rest): rows where ``pmod(xxhash64(keys), GP_SAMPLE_MOD)
+       = 0`` — a pure function of the key VALUES (64-bit so the nested
+       subsets below never exhaust the residue space) — sorted
+       Spark-side, thinned to n_buckets-1 boundary tuples, collected as
+       literals. If the collection cap truncates, a second pass counts
+       the sample exactly and re-samples at a coarser power-of-two mod
+       whose expected size fits the cap untruncated, collected as
+       (tuple, weight) aggregates and thinned at weight quantiles —
+       layout-independent where a bare ``limit`` keeps only
        the first-scheduled (on clustered input: lowest-key) partitions'
        rows and piles the underrepresented key range into giant buckets
        (366× ideal skew measured at 50M — one window task holding 9% of
@@ -275,8 +302,13 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
     fields = [c.alias(f"f{i}") for i, c in enumerate(kcols)]
 
     def _key_sample(mod: int) -> DataFrame:
+        # xxhash64, not F.hash: the 32-bit Murmur3 residue classes run out
+        # at mod × extra > 2^31 — pmod(h, mod)=0 would then select only
+        # hash-exactly-0 rows (~rows/2^32), collapsing the boundary sample
+        # to near-nothing at ~6e14 rows (r8 ADVICE item 2). 64-bit keeps
+        # the nested-subset construction uniform far past any real table.
         return df.select(F.struct(*fields).alias("kt")).where(
-            F.pmod(F.hash(*kcols), F.lit(mod)) == 0
+            F.pmod(F.xxhash64(*kcols), F.lit(mod)) == 0
         )
 
     # Spark-side sort: boundary order must be SPARK's ascending order
@@ -306,24 +338,42 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
         extra = 1
         while cnt > extra * GP_SAMPLE_CAP:
             extra *= 2
-        # the trailing limit is only a driver-OOM guard for degenerate key
-        # sets where one hash value carries the whole sample (then bounds
-        # are duplicated tuples — harmless); expected size is ≤ the cap
-        collected = (
+        # Collect (tuple, weight) AGGREGATES, not raw rows: the collect is
+        # then bounded by the DISTINCT sampled key tuples, which Chernoff-
+        # concentrates around ≤ cap (each distinct tuple enters the nested
+        # subset independently at 1/extra) — so the degenerate case the
+        # old raw-row guard-limit existed for (one heavy key carrying the
+        # whole sample past 8× cap) compresses to ONE aggregate row
+        # instead of silently re-entering layout-dependent truncation
+        # (r8 ADVICE item 1). The trailing limit survives as a pure
+        # driver-OOM backstop; if it ever fires, stats say so
+        # (resample_truncated) instead of nothing surfacing it.
+        agg_rows = (
             _key_sample(GP_SAMPLE_MOD * extra)
-            .limit(8 * GP_SAMPLE_CAP)
+            .groupBy("kt")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .limit(4 * GP_SAMPLE_CAP)
             .orderBy("kt")
             .collect()
         )
+        resample_truncated = len(agg_rows) >= 4 * GP_SAMPLE_CAP
+        pairs = [
+            (r["kt"], r["w"]) for r in agg_rows if not any(v is None for v in r["kt"])
+        ]
         est_rows = cnt * GP_SAMPLE_MOD
+        n_samples = len(pairs)
+        # floor 2: one bucket would make _gp_bucket a foldable constant,
+        # which Catalyst folds into an UNPARTITIONED window (single task)
+        n_buckets = min(GP_MAX_BUCKETS, max(2, est_rows // GP_TARGET_ROWS_PER_BUCKET))
+        bounds = _weighted_bounds(pairs, n_buckets)
     else:
+        resample_truncated = False
         est_rows = len(collected) * GP_SAMPLE_MOD
-    cand = [r["kt"] for r in collected if not any(v is None for v in r["kt"])]
-    # floor 2: one bucket would make _gp_bucket a foldable constant,
-    # which Catalyst folds into an UNPARTITIONED window (single task)
-    n_buckets = min(GP_MAX_BUCKETS, max(2, est_rows // GP_TARGET_ROWS_PER_BUCKET))
-    step = max(1, (len(cand) + n_buckets - 1) // n_buckets)
-    bounds = cand[step - 1 :: step][: n_buckets - 1]
+        cand = [r["kt"] for r in collected if not any(v is None for v in r["kt"])]
+        n_samples = len(cand)
+        n_buckets = min(GP_MAX_BUCKETS, max(2, est_rows // GP_TARGET_ROWS_PER_BUCKET))
+        step = max(1, (len(cand) + n_buckets - 1) // n_buckets)
+        bounds = cand[step - 1 :: step][: n_buckets - 1]
 
     # bucket id = |{i : key > bounds[i]}| (strict: a key equal to a bound
     # stays in the bound's own bucket), computed by binary search over
@@ -394,11 +444,12 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
         acc += by_bucket.get(b, 0)
     if stats is not None:  # probe/test observability only
         stats.update(
-            sample_rows=len(cand),
+            sample_rows=n_samples,
             n_buckets=len(bounds) + 1,
             populated_buckets=len(by_bucket),
             total_rows=acc,
             max_bucket_rows=max(by_bucket.values()) if by_bucket else 0,
+            resample_truncated=resample_truncated,
         )
     off_arr = F.lit([int(v) for v in offs])  # one py4j call → array<long> literal
     w = Window.partitionBy("_gp_bucket").orderBy(*[c.asc() for c in kcols])
