@@ -334,6 +334,13 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
         # the expected size fits the cap WITHOUT a limit — a deterministic
         # nested subset (pmod(h, 256k) = 0 ⊆ pmod(h, 256) = 0), uniform
         # across the key range regardless of physical layout.
+        # Two keys-only jobs on the saturated path (exact count, then the
+        # coarser re-sample) — deliberate (r8 ADVICE item 3): both scan
+        # pruned key columns, and they agree because the operator's whole
+        # design already requires deterministic rescans (the count pass
+        # and the output pass must agree row-by-row; see the docstring's
+        # no-persist rationale). est_rows only sizes n_buckets, so even a
+        # drifting source would skew bucket sizing, never positions.
         cnt = _key_sample(GP_SAMPLE_MOD).count()
         extra = 1
         while cnt > extra * GP_SAMPLE_CAP:
