@@ -203,6 +203,131 @@ GP_TARGET_ROWS_PER_BUCKET = 16_384
 #: rows) — both driver-trivial, so 16384+ is open if a deployment
 #: needs it.
 GP_MAX_BUCKETS = 8192
+#: Dict-rank premap gate for STRING key fields in the position machinery
+#: (the sort_with_tiebreak radix trick applied to the bucket search + the
+#: final window sort): a ≤64-entry create_map is probed linearly per row
+#: (CLAUDE.md rule), paid ONCE, and replaces ~log2(GP_MAX_BUCKETS) UTF8
+#: ordering compares in the search plus ~log2(rows/task) compares in the
+#: window sort — break-even sits near ~70 entries, so 64. Smaller than
+#: DICT_SORT_MAX_KEYS (256) because that map's payoff (a radix-prefix
+#: composite) is larger per row than this one's. Strings only: UTF-8
+#: byte order ≡ codepoint order, so Python ``sorted()`` reproduces
+#: Spark's ascending order (the float/NaN hazard can't arise).
+GP_DICT_RANK_MAX_KEYS = 64
+
+
+def _two_key_composite(
+    df: DataFrame, keys: tuple, kcols: list, sample_keys: list, bounds: list
+):
+    """(rank_map, composite_bounds) for the (low-card string, integral
+    tie-break) 2-key shape, or None.
+
+    Folds the pair into ONE long per row — ``(rank(f0)+1)·2^48 + f1`` —
+    so the bucket binary search AND the per-bucket window sort run on a
+    single long field, the exact cost profile of a unique-key fanout
+    (sort_with_tiebreak's radix composite applied to the position
+    machinery). Strictly order-isomorphic to (f0 asc-nulls-first,
+    f1 asc): null f0 ranks -1 → composite 0·2^48 + f1, below every real
+    rank; collisions are impossible for tie-breaks in [0, 2^48).
+    Positions are therefore bit-identical to the struct-compare path.
+
+    Motivation is measured, not theoretical (SCALING.md round-9): at
+    300M/16384 the positioned pipeline's cost scales with the SEARCH
+    FIELD COUNT — two long keys ran 2.4× one (327 s vs ~137 s in-window)
+    and the string shape 1.6× that again (525 s) even after the
+    dict-rank premap removed every string ordering compare — so
+    collapsing fields, not cheapening comparators, is what pays.
+
+    ONE gating pre-job (keys-only scan, limit-bounded collect, the
+    sort_with_tiebreak pre-job shape): groupBy(f0) with f1 min/max/
+    null-count partials. Composite requires: exactly 2 key fields,
+    string f0 with ≤ GP_DICT_RANK_MAX_KEYS exact-distinct values
+    covering every bound, integral f1, zero null f1, f1 range within
+    [0, 2^48). Any miss → None (callers fall back to the premap or
+    plain struct compares — semantics never depend on this path)."""
+    from pyspark.sql import types as T
+
+    if len(keys) != 2:
+        return None
+    if not isinstance(df.schema[keys[0]].dataType, T.StringType):
+        return None
+    if not isinstance(
+        df.schema[keys[1]].dataType,
+        (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+    ):
+        return None
+    if len({t[0] for t in sample_keys}) > GP_DICT_RANK_MAX_KEYS:
+        return None
+    rows = (
+        df.groupBy(kcols[0].alias("v"))
+        .agg(
+            F.min(kcols[1]).alias("lo"),
+            F.max(kcols[1]).alias("hi"),
+            F.sum(kcols[1].isNull().cast("long")).alias("null_tb"),
+        )
+        .limit(GP_DICT_RANK_MAX_KEYS + 2)
+        .collect()
+    )
+    vals = [r["v"] for r in rows]
+    if len([v for v in vals if v is not None]) > GP_DICT_RANK_MAX_KEYS:
+        return None
+    if any(r["null_tb"] for r in rows):
+        return None
+    los = [r["lo"] for r in rows if r["lo"] is not None]
+    his = [r["hi"] for r in rows if r["hi"] is not None]
+    if not los or min(los) < 0 or max(his) >= DICT_SORT_TIEBREAK_BOUND:
+        return None
+    rmap = {v: j for j, v in enumerate(sorted(v for v in vals if v is not None))}
+    if any(b[0] not in rmap for b in bounds):
+        return None
+    comp_bounds = [
+        (rmap[b[0]] + 1) * DICT_SORT_TIEBREAK_BOUND + int(b[1]) for b in bounds
+    ]
+    return rmap, comp_bounds
+
+
+def _dict_rank_maps(
+    df: DataFrame, keys: tuple, kcols: list, sample_keys: list, bounds: list
+) -> dict:
+    """{field index: {string value: rank}} for low-cardinality string key
+    fields, where rank order ≡ Spark's string order (order isomorphism —
+    so bucket ids and window row_numbers are BIT-IDENTICAL to the
+    string-compare path; only the comparison cost changes).
+
+    Gated twice: the already-collected boundary sample must show ≤
+    GP_DICT_RANK_MAX_KEYS distinct values (free), then ONE exact
+    distinct job per surviving field (keys-only scan, limit-bounded
+    collect) confirms the full domain — a value outside the map would
+    rank NULL and mis-sort, so near-miss cardinalities fall back to
+    string compares. The 300M/16384 probe motivating this measured the
+    2-key (string, long) positioned write at 4.6× the (long,)-keyed one
+    in the same window while their plain-sort controls were EQUAL —
+    the gap is UTF8 ordering compares in the bucket search (14/row)
+    and the per-bucket window sort (SCALING.md round-9)."""
+    from pyspark.sql import types as T
+
+    out: dict[int, dict] = {}
+    for i, k in enumerate(keys):
+        if not isinstance(df.schema[k].dataType, T.StringType):
+            continue
+        if len({t[i] for t in sample_keys}) > GP_DICT_RANK_MAX_KEYS:
+            continue
+        vals = [
+            r["v"]
+            for r in df.select(kcols[i].alias("v"))
+            .distinct()
+            .limit(GP_DICT_RANK_MAX_KEYS + 1)
+            .collect()
+        ]
+        if len(vals) > GP_DICT_RANK_MAX_KEYS:
+            continue
+        rmap = {v: j for j, v in enumerate(sorted(v for v in vals if v is not None))}
+        # belt: every bound value must be mappable (can only fail on a
+        # non-deterministic source, which the operator excludes anyway)
+        if any(b[i] not in rmap for b in bounds):
+            continue
+        out[i] = rmap
+    return out
 
 
 def _weighted_bounds(pairs: list, n_buckets: int) -> list:
@@ -278,6 +403,12 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
        low. That is exactly the asc-nulls-first order the final window
        uses, so null-keyed rows land in the right bucket. Bucket id =
        |{bounds < key}| is monotone in key order by construction.
+       Low-cardinality STRING fields are first rank-encoded through an
+       exact dict premap (``_dict_rank_maps``) so the search levels AND
+       the final window sort compare longs instead of UTF8 strings —
+       order-isomorphic, positions bit-identical; measured motivation
+       and win in SCALING.md round-9 (the 300M 2-key write ran 4.6× the
+       unique-key one in the same window purely on string compares).
     3. **Exact bucket counts** (second job, keys only) → driver prefix sum
        (≤ n_buckets values, never rows) → a literal offsets ARRAY indexed
        by bucket id (an O(1) constant-folded lookup per row — r6 used a
@@ -369,6 +500,7 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
         ]
         est_rows = cnt * GP_SAMPLE_MOD
         n_samples = len(pairs)
+        sample_keys = [kt for kt, _ in pairs]
         # floor 2: one bucket would make _gp_bucket a foldable constant,
         # which Catalyst folds into an UNPARTITIONED window (single task)
         n_buckets = min(GP_MAX_BUCKETS, max(2, est_rows // GP_TARGET_ROWS_PER_BUCKET))
@@ -378,9 +510,60 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
         est_rows = len(collected) * GP_SAMPLE_MOD
         cand = [r["kt"] for r in collected if not any(v is None for v in r["kt"])]
         n_samples = len(cand)
+        sample_keys = cand
         n_buckets = min(GP_MAX_BUCKETS, max(2, est_rows // GP_TARGET_ROWS_PER_BUCKET))
         step = max(1, (len(cand) + n_buckets - 1) // n_buckets)
         bounds = cand[step - 1 :: step][: n_buckets - 1]
+
+    # Key-shape fast paths, engaged only when bounds exist (below that
+    # scale the gating pre-job couldn't pay for itself); both are order-
+    # isomorphic, so positions are bit-identical to plain struct compares:
+    # 1. composite — (low-card string, integral tie-break) folds to ONE
+    #    long, collapsing search AND window sort to the unique-key cost
+    #    profile (_two_key_composite; the measured 300M win);
+    # 2. dict-rank premap — other low-card string fields rank-encode so
+    #    comparisons run on longs (_dict_rank_maps).
+    rank_maps: dict[int, dict] = {}
+    composite = None
+    if bounds:
+        composite = _two_key_composite(df, keys, kcols, sample_keys, bounds)
+        if composite is None:
+            rank_maps = _dict_rank_maps(df, keys, kcols, sample_keys, bounds)
+    bucketed = df
+    rank_cols: list[str] = []
+    if composite is not None:
+        rmap, comp_bounds = composite
+        rc = "_gp_ck"
+        while rc in bucketed.columns:
+            rc += "_"
+        rank_expr = F.create_map(
+            *[F.lit(x) for v, j in sorted(rmap.items()) for x in (v, j)]
+        )[kcols[0]].cast("long")
+        comp_expr = (F.coalesce(rank_expr, F.lit(-1)) + F.lit(1)) * F.lit(
+            DICT_SORT_TIEBREAK_BOUND
+        ) + kcols[1].cast("long")
+        bucketed = bucketed.withColumn(rc, comp_expr)
+        rank_cols.append(rc)
+        sort_exprs = [F.col(rc)]
+        search_bounds = [comp_bounds]
+    else:
+        sort_exprs = list(kcols)
+        for i in sorted(rank_maps):
+            rc = f"_gp_rk{i}"
+            while rc in bucketed.columns:
+                rc += "_"
+            lookup = F.create_map(
+                *[F.lit(x) for v, j in sorted(rank_maps[i].items()) for x in (v, j)]
+            )[kcols[i]].cast("long")
+            bucketed = bucketed.withColumn(rc, lookup)
+            sort_exprs[i] = F.col(rc)
+            rank_cols.append(rc)
+        search_bounds = [
+            [rank_maps[i][b[i]] for b in bounds]
+            if i in rank_maps
+            else [b[i] for b in bounds]
+            for i in range(len(keys))
+        ]
 
     # bucket id = |{i : key > bounds[i]}| (strict: a key equal to a bound
     # stays in the bound's own bucket), computed by binary search over
@@ -407,11 +590,10 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
     # referenced (a non-cheap expression used twice per level), which
     # CollapseProject refuses to inline — the expression tree stays
     # linear, not 2^levels.
-    bucketed = df
     if bounds:
-        b_arrs = [F.lit([b[i] for b in bounds]) for i in range(len(keys))]
+        b_arrs = [F.lit(vals) for vals in search_bounds]
         pos_col = "_gp_bs"
-        while pos_col in df.columns:
+        while pos_col in bucketed.columns:
             pos_col += "_"
         bucketed = bucketed.withColumn(pos_col, F.lit(0))
         n_b = len(bounds)
@@ -419,9 +601,9 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
         while step2 >= 1:
             cand_idx = F.col(pos_col) + F.lit(step2)
             gt = F.lit(False)
-            for i in reversed(range(len(keys))):
+            for i in reversed(range(len(sort_exprs))):
                 bi = F.element_at(b_arrs[i], cand_idx.cast("int"))
-                gt = (kcols[i] > bi) | ((kcols[i] == bi) & gt)
+                gt = (sort_exprs[i] > bi) | ((sort_exprs[i] == bi) & gt)
             # nested when: element_at is only evaluated under the bounds
             # guard (ANSI mode throws on out-of-range indices)
             bumped = F.when(
@@ -457,9 +639,14 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
             total_rows=acc,
             max_bucket_rows=max(by_bucket.values()) if by_bucket else 0,
             resample_truncated=resample_truncated,
+            dict_rank_fields=[0] if composite is not None else sorted(rank_maps),
+            composite_key=composite is not None,
         )
     off_arr = F.lit([int(v) for v in offs])  # one py4j call → array<long> literal
-    w = Window.partitionBy("_gp_bucket").orderBy(*[c.asc() for c in kcols])
+    # the window orders by the RANK columns where a premap engaged —
+    # order-isomorphic to the raw keys, so row_number is unchanged while
+    # the per-bucket sort compares longs instead of UTF8 strings
+    w = Window.partitionBy("_gp_bucket").orderBy(*[c.asc() for c in sort_exprs])
     return (
         bucketed.withColumn(
             "global_pos",
@@ -468,5 +655,5 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
                 + F.element_at(off_arr, F.col("_gp_bucket") + F.lit(1))
             ).cast("long"),
         )
-        .drop("_gp_bucket")
+        .drop("_gp_bucket", *rank_cols)
     )

@@ -407,3 +407,78 @@ def test_with_global_position_saturated_sample_is_layout_independent(
         f"clustered-layout bucket skew {st['max_bucket_rows'] / ideal:.1f}x ideal "
         f"(stats={st})"
     )
+
+
+def test_with_global_position_dict_rank_premap_engages_and_is_exact(
+    spark, monkeypatch
+):
+    """r9: low-cardinality STRING key fields are rank-encoded via an exact
+    dict map, so the bucket search and the window sort compare longs —
+    positions must be BIT-IDENTICAL to the string-compare order (order
+    isomorphism), including null strings (rank NULL sorts first, same as
+    the string). Engagement is observable via stats.dict_rank_fields."""
+    monkeypatch.setattr(sort_ops, "GP_SAMPLE_MOD", 2)
+    rows = [
+        (None if i % 83 == 0 else f"t{(i * 13) % 7}", i) for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "k string, tb int")
+    stats: dict = {}
+    got = (
+        sort_ops.with_global_position(df, "k", "tb", stats=stats)
+        .orderBy("global_pos")
+        .select("k", "tb", "global_pos")
+        .collect()
+    )
+    assert stats["n_buckets"] >= 2
+    assert stats["dict_rank_fields"] == [0], stats
+    # rank columns must not leak into the output schema
+    assert [r for r in got[0].asDict() if r.startswith("_gp")] == []
+    assert [r["global_pos"] for r in got] == list(range(1, len(rows) + 1))
+    expect = sorted(rows, key=lambda r: ((r[0] is not None, r[0] or ""), r[1]))
+    assert [(r["k"], r["tb"]) for r in got] == expect
+
+
+def test_with_global_position_dict_rank_declines_high_cardinality(
+    spark, monkeypatch
+):
+    """A string key whose domain exceeds GP_DICT_RANK_MAX_KEYS must fall
+    back to plain string compares (a partial map would rank unseen values
+    NULL and mis-sort) — and positions stay exact either way."""
+    monkeypatch.setattr(sort_ops, "GP_SAMPLE_MOD", 2)
+    n = 4000
+    rows = [(f"s{(i * 31) % 997:04d}", i) for i in range(n)]  # 997 values
+    df = spark.createDataFrame(rows, "k string, tb int")
+    stats: dict = {}
+    got = (
+        sort_ops.with_global_position(df, "k", "tb", stats=stats)
+        .orderBy("global_pos")
+        .select("k", "tb", "global_pos")
+        .collect()
+    )
+    assert stats["dict_rank_fields"] == [], stats
+    assert [(r["k"], r["tb"]) for r in got] == sorted(rows)
+
+
+def test_with_global_position_composite_gates_and_fallback(spark, monkeypatch):
+    """The 2-key composite fast path requires a non-negative integral
+    tie-break < 2^48; a negative tie-break must decline the composite
+    (its long would collide across ranks) and fall back to the dict-rank
+    premap — with positions exact in both regimes."""
+    monkeypatch.setattr(sort_ops, "GP_SAMPLE_MOD", 2)
+    n = 3000
+    # composite-eligible: tb >= 0
+    ok_rows = [(f"t{(i * 13) % 5}", i) for i in range(n)]
+    # composite-ineligible: negative tb
+    neg_rows = [(f"t{(i * 13) % 5}", i - n // 2) for i in range(n)]
+    for rows, want_composite in ((ok_rows, True), (neg_rows, False)):
+        df = spark.createDataFrame(rows, "k string, tb long")
+        stats: dict = {}
+        got = (
+            sort_ops.with_global_position(df, "k", "tb", stats=stats)
+            .orderBy("global_pos")
+            .select("k", "tb")
+            .collect()
+        )
+        assert stats["composite_key"] is want_composite, stats
+        assert stats["dict_rank_fields"] == [0], stats
+        assert [(r["k"], r["tb"]) for r in got] == sorted(rows)
