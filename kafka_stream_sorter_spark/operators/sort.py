@@ -219,8 +219,10 @@ GP_DICT_RANK_MAX_KEYS = 64
 def _two_key_composite(
     df: DataFrame, keys: tuple, kcols: list, sample_keys: list, bounds: list
 ):
-    """(rank_map, composite_bounds) for the (low-card string, integral
-    tie-break) 2-key shape, or None.
+    """(composite_expr, composite_bounds) for 2-key shapes that pack into
+    one long, or None. Dispatches: (integral, integral) → range-packed
+    composite (_integral_pair_composite); (low-card string, integral) →
+    the rank composite below.
 
     Folds the pair into ONE long per row — ``(rank(f0)+1)·2^48 + f1`` —
     so the bucket binary search AND the per-bucket window sort run on a
@@ -247,14 +249,14 @@ def _two_key_composite(
     plain struct compares — semantics never depend on this path)."""
     from pyspark.sql import types as T
 
+    integral = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
     if len(keys) != 2:
         return None
-    if not isinstance(df.schema[keys[0]].dataType, T.StringType):
+    if not isinstance(df.schema[keys[1]].dataType, integral):
         return None
-    if not isinstance(
-        df.schema[keys[1]].dataType,
-        (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
-    ):
+    if isinstance(df.schema[keys[0]].dataType, integral):
+        return _integral_pair_composite(df, kcols, bounds)
+    if not isinstance(df.schema[keys[0]].dataType, T.StringType):
         return None
     if len({t[0] for t in sample_keys}) > GP_DICT_RANK_MAX_KEYS:
         return None
@@ -283,7 +285,50 @@ def _two_key_composite(
     comp_bounds = [
         (rmap[b[0]] + 1) * DICT_SORT_TIEBREAK_BOUND + int(b[1]) for b in bounds
     ]
-    return rmap, comp_bounds
+    rank_expr = F.create_map(
+        *[F.lit(x) for v, j in sorted(rmap.items()) for x in (v, j)]
+    )[kcols[0]].cast("long")
+    comp_expr = (F.coalesce(rank_expr, F.lit(-1)) + F.lit(1)) * F.lit(
+        DICT_SORT_TIEBREAK_BOUND
+    ) + kcols[1].cast("long")
+    return comp_expr, comp_bounds
+
+
+def _integral_pair_composite(df: DataFrame, kcols: list, bounds: list):
+    """(composite_expr, composite_bounds) for a pair of INTEGRAL key
+    fields, or None — the general-field-count fix the 300M discriminator
+    demanded (two long keys paid the same 2.4× per-field search cost as
+    the string pair; SCALING.md round-9).
+
+    One agg pre-job (keys-only scan) fetches both fields' min/max/null
+    counts; the composite is range-packed:
+
+        (coalesce(f0 − min0, −1) + 1) · 2^b1  +  (f1 − min1)
+
+    with b1 = bit_length(max1 − min1), so the f1 term occupies the low
+    b1 bits collision-free and null f0 packs as 0 — below every real
+    value, the asc-nulls-first order. Gates: zero null f1 (a null f1
+    would lose its f0 ordering), and (span0 + 2) · 2^b1 + span1 < 2^63
+    (no overflow). Strict order isomorphism ⇒ positions bit-identical."""
+    agg = df.agg(
+        F.min(kcols[0]).alias("lo0"),
+        F.max(kcols[0]).alias("hi0"),
+        F.min(kcols[1]).alias("lo1"),
+        F.max(kcols[1]).alias("hi1"),
+        F.sum(kcols[1].isNull().cast("long")).alias("null_tb"),
+    ).collect()[0]
+    if agg["lo0"] is None or agg["lo1"] is None or agg["null_tb"]:
+        return None
+    lo0, lo1 = int(agg["lo0"]), int(agg["lo1"])
+    span0, span1 = int(agg["hi0"]) - lo0, int(agg["hi1"]) - lo1
+    shift = 1 << span1.bit_length()
+    if (span0 + 2) * shift + span1 >= 1 << 63:
+        return None
+    comp_expr = (
+        F.coalesce(kcols[0].cast("long") - F.lit(lo0), F.lit(-1)) + F.lit(1)
+    ) * F.lit(shift) + (kcols[1].cast("long") - F.lit(lo1))
+    comp_bounds = [(int(b[0]) - lo0 + 1) * shift + (int(b[1]) - lo1) for b in bounds]
+    return comp_expr, comp_bounds
 
 
 def _dict_rank_maps(
@@ -532,16 +577,10 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
     bucketed = df
     rank_cols: list[str] = []
     if composite is not None:
-        rmap, comp_bounds = composite
+        comp_expr, comp_bounds = composite
         rc = "_gp_ck"
         while rc in bucketed.columns:
             rc += "_"
-        rank_expr = F.create_map(
-            *[F.lit(x) for v, j in sorted(rmap.items()) for x in (v, j)]
-        )[kcols[0]].cast("long")
-        comp_expr = (F.coalesce(rank_expr, F.lit(-1)) + F.lit(1)) * F.lit(
-            DICT_SORT_TIEBREAK_BOUND
-        ) + kcols[1].cast("long")
         bucketed = bucketed.withColumn(rc, comp_expr)
         rank_cols.append(rc)
         sort_exprs = [F.col(rc)]
@@ -639,7 +678,7 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
             total_rows=acc,
             max_bucket_rows=max(by_bucket.values()) if by_bucket else 0,
             resample_truncated=resample_truncated,
-            dict_rank_fields=[0] if composite is not None else sorted(rank_maps),
+            dict_rank_fields=sorted(rank_maps),
             composite_key=composite is not None,
         )
     off_arr = F.lit([int(v) for v in offs])  # one py4j call → array<long> literal

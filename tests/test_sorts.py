@@ -430,7 +430,8 @@ def test_with_global_position_dict_rank_premap_engages_and_is_exact(
         .collect()
     )
     assert stats["n_buckets"] >= 2
-    assert stats["dict_rank_fields"] == [0], stats
+    # (low-card string, integral tb) takes the one-long composite path
+    assert stats["composite_key"] is True, stats
     # rank columns must not leak into the output schema
     assert [r for r in got[0].asDict() if r.startswith("_gp")] == []
     assert [r["global_pos"] for r in got] == list(range(1, len(rows) + 1))
@@ -480,5 +481,40 @@ def test_with_global_position_composite_gates_and_fallback(spark, monkeypatch):
             .collect()
         )
         assert stats["composite_key"] is want_composite, stats
-        assert stats["dict_rank_fields"] == [0], stats
+        # when the composite declines, the dict-rank premap takes over
+        assert stats["dict_rank_fields"] == ([] if want_composite else [0]), stats
         assert [(r["k"], r["tb"]) for r in got] == sorted(rows)
+
+
+def test_with_global_position_integral_pair_composite(spark, monkeypatch):
+    """(integral, integral) 2-key shapes range-pack into one long
+    (negative values included, offset by min); null tie-breaks must
+    decline the composite. Positions exact in both regimes."""
+    monkeypatch.setattr(sort_ops, "GP_SAMPLE_MOD", 2)
+    n = 3000
+    rows = [((i * 7) % 11 - 5, i - n // 2) for i in range(n)]
+    df = spark.createDataFrame(rows, "k long, tb long")
+    stats: dict = {}
+    got = (
+        sort_ops.with_global_position(df, "k", "tb", stats=stats)
+        .orderBy("global_pos")
+        .select("k", "tb")
+        .collect()
+    )
+    assert stats["composite_key"] is True, stats
+    assert [(r["k"], r["tb"]) for r in got] == sorted(rows)
+
+    null_rows = rows + [(3, None)]
+    df2 = spark.createDataFrame(null_rows, "k long, tb long")
+    stats2: dict = {}
+    got2 = (
+        sort_ops.with_global_position(df2, "k", "tb", stats=stats2)
+        .orderBy("global_pos")
+        .select("k", "tb")
+        .collect()
+    )
+    assert stats2["composite_key"] is False, stats2
+    expect = sorted(
+        null_rows, key=lambda r: (r[0], (r[1] is not None, r[1] or 0))
+    )
+    assert [(r["k"], r["tb"]) for r in got2] == expect
