@@ -413,7 +413,19 @@ def _loop_conf(spark, n_parts: int):
     now without the extra stage jobs. The final corpus-sized nodes⋈labels
     join stays OUTSIDE the bracket: it is lazy and executes under the
     caller's session conf, where AQE's broadcast-vs-shuffle choice is
-    exactly what we want (see the no-broadcast-hint note)."""
+    exactly what we want (see the no-broadcast-hint note).
+
+    SESSION-SCOPE CAVEAT (r9 ADVICE item 2): ``spark.conf`` is
+    session-global, so any OTHER query executed concurrently on the
+    same SparkSession while the loop runs would silently run under
+    AQE-off / width-pinned conf. That matches this repo's exclusive-run
+    convention (bench.py and the driver run queries one at a time, and
+    tests/test_plan_shapes_registry pins conf restoration on both the
+    success and failure paths), but a multi-tenant caller embedding
+    this operator as a library should hand it a dedicated
+    ``spark.newSession()``-derived session (shared SparkContext and
+    cache, isolated SQL conf) — the loop only touches DataFrames built
+    from its own inputs, so session choice is the caller's."""
     keys = {
         "spark.sql.adaptive.enabled": "false",
         "spark.sql.shuffle.partitions": str(n_parts),

@@ -26,9 +26,13 @@ Scale notes:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 
 def global_sort(df: DataFrame, *keys: str, ascending: bool = True) -> DataFrame:
@@ -183,6 +187,15 @@ GP_SAMPLE_MOD = 256
 #: 300k gives ~35, restoring the ~24/boundary regime the 4096 cap
 #: enjoys at the 100k cap.
 GP_SAMPLE_CAP = 300_000
+#: Boundary RESOLUTION floor: the effective sample cap is
+#: max(GP_SAMPLE_CAP, GP_MIN_SAMPLES_PER_BOUNDARY × GP_MAX_BUCKETS), so
+#: raising GP_MAX_BUCKETS can never silently degrade bucket balance —
+#: the r9 300M/16384 probe showed samples-per-boundary is the binding
+#: dial (18/boundary → 2.19-2.41× ideal max-bucket skew; 36/boundary →
+#: 1.72×), and until r10 the co-scaling rule lived only in a comment.
+#: 35 ≈ the ~24-36/boundary regime every balance probe has landed in;
+#: the collect stays slim key tuples (35 × 16384 ≈ 573k ≈ tens of MB).
+GP_MIN_SAMPLES_PER_BOUNDARY = 35
 GP_TARGET_ROWS_PER_BUCKET = 16_384
 #: 8192 (1024 → 4096 → 8192 across r8 as each ceiling fell): 1024's
 #: ceiling was plan construction (fixed by the per-field literal build,
@@ -214,6 +227,27 @@ GP_MAX_BUCKETS = 8192
 #: byte order ≡ codepoint order, so Python ``sorted()`` reproduces
 #: Spark's ascending order (the float/NaN hazard can't arise).
 GP_DICT_RANK_MAX_KEYS = 64
+#: est_rows gate for the key-encoding fast paths (the 2-key composite
+#: AND the dict-rank premap): both exist only to cheapen the per-row
+#: bucket-search/window-sort comparisons, a cost the 300M probes put at
+#: 2.4×/extra-field — but each costs 1-2 keys-only pre-jobs
+#: (groupBy(f0) / global min-max agg / distinct) that can never pay for
+#: themselves where the search cost is invisible. At sf0.1 the pre-jobs
+#: cost keyed_fanout ~+0.6s for zero win (r9 verdict, the one adverse
+#: bench mover); the 150M/300M probes bound where the win IS real
+#: (composite: 327→85s, 463→125s at 300M). 20M sits comfortably between
+#: fixture scale and the smallest probed win scale.
+GP_COMPOSITE_MIN_ROWS = 20_000_000
+
+
+def _gp_sample_cap() -> int:
+    """Effective boundary-sample cap: the static GP_SAMPLE_CAP floor,
+    raised automatically when GP_MAX_BUCKETS grows so samples-per-
+    boundary never drops below GP_MIN_SAMPLES_PER_BOUNDARY — the
+    co-scaling rule the r9 probe proved, now code instead of a comment
+    (a deployment raising GP_MAX_BUCKETS alone previously re-entered
+    the 18-samples/boundary 2.2-2.4× skew regime silently)."""
+    return max(GP_SAMPLE_CAP, GP_MIN_SAMPLES_PER_BOUNDARY * GP_MAX_BUCKETS)
 
 
 def _two_key_composite(
@@ -309,7 +343,12 @@ def _integral_pair_composite(df: DataFrame, kcols: list, bounds: list):
     b1 bits collision-free and null f0 packs as 0 — below every real
     value, the asc-nulls-first order. Gates: zero null f1 (a null f1
     would lose its f0 ordering), and (span0 + 2) · 2^b1 + span1 < 2^63
-    (no overflow). Strict order isomorphism ⇒ positions bit-identical."""
+    (no overflow). Strict order isomorphism ⇒ positions bit-identical.
+
+    The agg pre-job is NOT self-gated on cardinality (min/max over two
+    integral fields is one cheap keys-only scan at any domain size) —
+    the caller's GP_COMPOSITE_MIN_ROWS est_rows gate keeps it off small
+    tables where it can't pay for itself (r9 ADVICE item 3)."""
     agg = df.agg(
         F.min(kcols[0]).alias("lo0"),
         F.max(kcols[0]).alias("hi0"),
@@ -495,8 +534,9 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
     # comparison itself is a total order and handles null row keys fine;
     # dropping null candidates only biases bucket sizing, not order) —
     # filtered driver-side so truncation detection sees the raw count.
-    collected = _key_sample(GP_SAMPLE_MOD).limit(GP_SAMPLE_CAP).orderBy("kt").collect()
-    if len(collected) >= GP_SAMPLE_CAP:
+    cap = _gp_sample_cap()
+    collected = _key_sample(GP_SAMPLE_MOD).limit(cap).orderBy("kt").collect()
+    if len(collected) >= cap:
         # The limit truncated. A bare limit keeps whichever rows reach the
         # GlobalLimit reducer first — the FIRST-SCHEDULED scan partitions,
         # which on key-clustered input (time-ordered logs, sorted
@@ -519,7 +559,7 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
         # drifting source would skew bucket sizing, never positions.
         cnt = _key_sample(GP_SAMPLE_MOD).count()
         extra = 1
-        while cnt > extra * GP_SAMPLE_CAP:
+        while cnt > extra * cap:
             extra *= 2
         # Collect (tuple, weight) AGGREGATES, not raw rows: the collect is
         # then bounded by the DISTINCT sampled key tuples, which Chernoff-
@@ -535,11 +575,22 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
             _key_sample(GP_SAMPLE_MOD * extra)
             .groupBy("kt")
             .agg(F.count(F.lit(1)).alias("w"))
-            .limit(4 * GP_SAMPLE_CAP)
+            .limit(4 * cap)
             .orderBy("kt")
             .collect()
         )
-        resample_truncated = len(agg_rows) >= 4 * GP_SAMPLE_CAP
+        resample_truncated = len(agg_rows) >= 4 * cap
+        if resample_truncated:
+            # Unconditional — production callers never pass `stats`, so
+            # without this a firing backstop (bounds once again a layout-
+            # dependent subset) would be invisible (r9 ADVICE item 1).
+            _log.warning(
+                "with_global_position: resample driver-OOM backstop fired "
+                "(%d aggregates >= 4x cap %d, mod %d) — boundary sample is "
+                "limit-truncated and may be layout-biased; positions stay "
+                "exact but bucket balance is not guaranteed",
+                len(agg_rows), cap, GP_SAMPLE_MOD * extra,
+            )
         pairs = [
             (r["kt"], r["w"]) for r in agg_rows if not any(v is None for v in r["kt"])
         ]
@@ -560,17 +611,21 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
         step = max(1, (len(cand) + n_buckets - 1) // n_buckets)
         bounds = cand[step - 1 :: step][: n_buckets - 1]
 
-    # Key-shape fast paths, engaged only when bounds exist (below that
-    # scale the gating pre-job couldn't pay for itself); both are order-
-    # isomorphic, so positions are bit-identical to plain struct compares:
-    # 1. composite — (low-card string, integral tie-break) folds to ONE
-    #    long, collapsing search AND window sort to the unique-key cost
-    #    profile (_two_key_composite; the measured 300M win);
+    # Key-shape fast paths, engaged only when the sample-estimated table
+    # size clears GP_COMPOSITE_MIN_ROWS (below it the per-field compare
+    # cost they remove is invisible while their keys-only pre-jobs are
+    # not — the r9 verdict's +0.6s keyed_fanout fixture tax); both are
+    # order-isomorphic, so positions are bit-identical to plain struct
+    # compares in every regime:
+    # 1. composite — (low-card string, integral tie-break) or (integral,
+    #    integral) folds to ONE long, collapsing search AND window sort
+    #    to the unique-key cost profile (_two_key_composite; the
+    #    measured 300M win: 463→125s / 327→85s);
     # 2. dict-rank premap — other low-card string fields rank-encode so
     #    comparisons run on longs (_dict_rank_maps).
     rank_maps: dict[int, dict] = {}
     composite = None
-    if bounds:
+    if bounds and est_rows >= GP_COMPOSITE_MIN_ROWS:
         composite = _two_key_composite(df, keys, kcols, sample_keys, bounds)
         if composite is None:
             rank_maps = _dict_rank_maps(df, keys, kcols, sample_keys, bounds)

@@ -369,6 +369,9 @@ def test_with_global_position_saturated_sample_is_layout_independent(
     saturates the level-1 sample exactly like 50M does in production."""
     monkeypatch.setattr(sort_ops, "GP_SAMPLE_MOD", 4)
     monkeypatch.setattr(sort_ops, "GP_SAMPLE_CAP", 64)
+    # neutralize the resolution floor (35 x GP_MAX_BUCKETS would swamp the
+    # shrunken cap) — this test pins layout independence, not cap sizing
+    monkeypatch.setattr(sort_ops, "GP_MIN_SAMPLES_PER_BOUNDARY", 0)
     # target sized so bounds are thinned from ~8 samples each (the
     # production regime — 97k samples / ≤4096 buckets ≈ 24 per bound);
     # 1-sample-per-bound bucket sizes are exponentially spaced and their
@@ -418,6 +421,7 @@ def test_with_global_position_dict_rank_premap_engages_and_is_exact(
     isomorphism), including null strings (rank NULL sorts first, same as
     the string). Engagement is observable via stats.dict_rank_fields."""
     monkeypatch.setattr(sort_ops, "GP_SAMPLE_MOD", 2)
+    monkeypatch.setattr(sort_ops, "GP_COMPOSITE_MIN_ROWS", 0)
     rows = [
         (None if i % 83 == 0 else f"t{(i * 13) % 7}", i) for i in range(4000)
     ]
@@ -446,6 +450,7 @@ def test_with_global_position_dict_rank_declines_high_cardinality(
     back to plain string compares (a partial map would rank unseen values
     NULL and mis-sort) — and positions stay exact either way."""
     monkeypatch.setattr(sort_ops, "GP_SAMPLE_MOD", 2)
+    monkeypatch.setattr(sort_ops, "GP_COMPOSITE_MIN_ROWS", 0)
     n = 4000
     rows = [(f"s{(i * 31) % 997:04d}", i) for i in range(n)]  # 997 values
     df = spark.createDataFrame(rows, "k string, tb int")
@@ -466,6 +471,7 @@ def test_with_global_position_composite_gates_and_fallback(spark, monkeypatch):
     (its long would collide across ranks) and fall back to the dict-rank
     premap — with positions exact in both regimes."""
     monkeypatch.setattr(sort_ops, "GP_SAMPLE_MOD", 2)
+    monkeypatch.setattr(sort_ops, "GP_COMPOSITE_MIN_ROWS", 0)
     n = 3000
     # composite-eligible: tb >= 0
     ok_rows = [(f"t{(i * 13) % 5}", i) for i in range(n)]
@@ -491,6 +497,7 @@ def test_with_global_position_integral_pair_composite(spark, monkeypatch):
     (negative values included, offset by min); null tie-breaks must
     decline the composite. Positions exact in both regimes."""
     monkeypatch.setattr(sort_ops, "GP_SAMPLE_MOD", 2)
+    monkeypatch.setattr(sort_ops, "GP_COMPOSITE_MIN_ROWS", 0)
     n = 3000
     rows = [((i * 7) % 11 - 5, i - n // 2) for i in range(n)]
     df = spark.createDataFrame(rows, "k long, tb long")
@@ -518,3 +525,45 @@ def test_with_global_position_integral_pair_composite(spark, monkeypatch):
         null_rows, key=lambda r: (r[0], (r[1] is not None, r[1] or 0))
     )
     assert [(r["k"], r["tb"]) for r in got2] == expect
+
+
+def test_with_global_position_keyopt_gated_below_min_rows(spark, monkeypatch):
+    """r10 (r9 verdict #2 / ADVICE item 3): below GP_COMPOSITE_MIN_ROWS the
+    key-encoding fast paths must NOT engage — their keys-only pre-jobs
+    (groupBy / min-max agg / distinct) cost real fixture wall for a compare
+    cheapening that is invisible at small scale (keyed_fanout paid +0.6s at
+    sf0.1 for the ungated r9 pre-jobs). Positions must be exact anyway
+    (the fast paths are order-isomorphic physical rewrites)."""
+    monkeypatch.setattr(sort_ops, "GP_SAMPLE_MOD", 2)
+    # default gate (20M) is far above this fixture's est_rows (~3000)
+    for schema, rows in (
+        ("k string, tb long", [(f"t{(i * 13) % 5}", i) for i in range(3000)]),
+        ("k long, tb long", [((i * 7) % 11, i) for i in range(3000)]),
+    ):
+        df = spark.createDataFrame(rows, schema)
+        stats: dict = {}
+        got = (
+            sort_ops.with_global_position(df, "k", "tb", stats=stats)
+            .orderBy("global_pos")
+            .select("k", "tb")
+            .collect()
+        )
+        assert stats["composite_key"] is False, stats
+        assert stats["dict_rank_fields"] == [], stats
+        assert [(r["k"], r["tb"]) for r in got] == sorted(rows)
+
+
+def test_gp_sample_cap_derived_from_bucket_count(monkeypatch):
+    """r10 (r9 verdict #4): the effective sample cap must co-scale with
+    GP_MAX_BUCKETS so samples-per-boundary never drops below the floor the
+    300M/16384 probe proved binding (18/boundary -> 2.2-2.4x skew vs
+    36/boundary -> 1.7x). At the default 8192 the static cap already
+    satisfies the floor; doubling the bucket cap must raise it
+    automatically instead of silently degrading balance."""
+    assert sort_ops.GP_SAMPLE_CAP == 300_000
+    assert sort_ops.GP_MIN_SAMPLES_PER_BOUNDARY * sort_ops.GP_MAX_BUCKETS <= 300_000
+    assert sort_ops._gp_sample_cap() == 300_000
+    monkeypatch.setattr(sort_ops, "GP_MAX_BUCKETS", 16_384)
+    assert sort_ops._gp_sample_cap() == 35 * 16_384  # 573,440 > static cap
+    monkeypatch.setattr(sort_ops, "GP_MAX_BUCKETS", 65_536)
+    assert sort_ops._gp_sample_cap() == 35 * 65_536
