@@ -177,6 +177,8 @@ def keyed_fanout(df: DataFrame, key_specs: dict[str, list[str]]) -> dict[str, Da
 #: first-scheduled scan partitions' rows, which on key-clustered input
 #: biases the bounds to the leading key slice (probe_gp_clustered.py).
 GP_SAMPLE_MOD = 256
+#: Static FLOOR of the effective cap (see _gp_sample_cap — the binding
+#: default is the 2×35×GP_MAX_BUCKETS resolution term, 573,440 at 8192).
 #: 300k (raised from 100k in late r8): the cap bounds ONE driver collect
 #: of slim key tuples (~tens of MB) — cheap — and with the two-phase
 #: sampler its only other effect is boundary RESOLUTION: bounds are
@@ -188,13 +190,19 @@ GP_SAMPLE_MOD = 256
 #: enjoys at the 100k cap.
 GP_SAMPLE_CAP = 300_000
 #: Boundary RESOLUTION floor: the effective sample cap is
-#: max(GP_SAMPLE_CAP, GP_MIN_SAMPLES_PER_BOUNDARY × GP_MAX_BUCKETS), so
-#: raising GP_MAX_BUCKETS can never silently degrade bucket balance —
+#: max(GP_SAMPLE_CAP, 2 × GP_MIN_SAMPLES_PER_BOUNDARY × GP_MAX_BUCKETS),
+#: so raising GP_MAX_BUCKETS can never silently degrade bucket balance —
 #: the r9 300M/16384 probe showed samples-per-boundary is the binding
 #: dial (18/boundary → 2.19-2.41× ideal max-bucket skew; 36/boundary →
 #: 1.72×), and until r10 the co-scaling rule lived only in a comment.
+#: The 2× is load-bearing: the saturated-path resample steps the mod by
+#: powers of two, so the collected sample lands anywhere in
+#: (cap/2, cap] — a cap of exactly 35·buckets bottoms out at 17.5 per
+#: boundary, the condemned regime (at 300M/16384 the level-1 count
+#: ~1.17M sits just above 2 × 573k, which is precisely that bottom).
 #: 35 ≈ the ~24-36/boundary regime every balance probe has landed in;
-#: the collect stays slim key tuples (35 × 16384 ≈ 573k ≈ tens of MB).
+#: the collect stays slim key tuples (2 × 35 × 16384 ≈ 1.1M ≈ tens of
+#: MB driver-side, bounded and key-width-linear).
 GP_MIN_SAMPLES_PER_BOUNDARY = 35
 GP_TARGET_ROWS_PER_BUCKET = 16_384
 #: 8192 (1024 → 4096 → 8192 across r8 as each ceiling fell): 1024's
@@ -243,11 +251,13 @@ GP_COMPOSITE_MIN_ROWS = 20_000_000
 def _gp_sample_cap() -> int:
     """Effective boundary-sample cap: the static GP_SAMPLE_CAP floor,
     raised automatically when GP_MAX_BUCKETS grows so samples-per-
-    boundary never drops below GP_MIN_SAMPLES_PER_BOUNDARY — the
+    boundary never drops below GP_MIN_SAMPLES_PER_BOUNDARY *even at the
+    bottom of the resample window* (the power-of-two mod stepping lands
+    the collected sample in (cap/2, cap], hence the 2×) — the
     co-scaling rule the r9 probe proved, now code instead of a comment
     (a deployment raising GP_MAX_BUCKETS alone previously re-entered
     the 18-samples/boundary 2.2-2.4× skew regime silently)."""
-    return max(GP_SAMPLE_CAP, GP_MIN_SAMPLES_PER_BOUNDARY * GP_MAX_BUCKETS)
+    return max(GP_SAMPLE_CAP, 2 * GP_MIN_SAMPLES_PER_BOUNDARY * GP_MAX_BUCKETS)
 
 
 def _two_key_composite(

@@ -557,13 +557,17 @@ def test_gp_sample_cap_derived_from_bucket_count(monkeypatch):
     """r10 (r9 verdict #4): the effective sample cap must co-scale with
     GP_MAX_BUCKETS so samples-per-boundary never drops below the floor the
     300M/16384 probe proved binding (18/boundary -> 2.2-2.4x skew vs
-    36/boundary -> 1.7x). At the default 8192 the static cap already
-    satisfies the floor; doubling the bucket cap must raise it
-    automatically instead of silently degrading balance."""
+    36/boundary -> 1.7x). The 2x factor is the resample window: the
+    power-of-two mod stepping lands the collected sample in (cap/2, cap],
+    so a cap of exactly 35*buckets would bottom out at 17.5/boundary —
+    the condemned regime. Raising the bucket cap must raise the sample
+    cap automatically instead of silently degrading balance."""
     assert sort_ops.GP_SAMPLE_CAP == 300_000
-    assert sort_ops.GP_MIN_SAMPLES_PER_BOUNDARY * sort_ops.GP_MAX_BUCKETS <= 300_000
-    assert sort_ops._gp_sample_cap() == 300_000
+    # at the default 8192 the resolution term binds: 2*35*8192 = 573,440
+    assert sort_ops._gp_sample_cap() == 2 * 35 * 8_192
+    # worst-case resample (cap/2) still meets the per-boundary floor
+    assert sort_ops._gp_sample_cap() // 2 >= 35 * sort_ops.GP_MAX_BUCKETS
     monkeypatch.setattr(sort_ops, "GP_MAX_BUCKETS", 16_384)
-    assert sort_ops._gp_sample_cap() == 35 * 16_384  # 573,440 > static cap
-    monkeypatch.setattr(sort_ops, "GP_MAX_BUCKETS", 65_536)
-    assert sort_ops._gp_sample_cap() == 35 * 65_536
+    assert sort_ops._gp_sample_cap() == 2 * 35 * 16_384  # 1,146,880
+    monkeypatch.setattr(sort_ops, "GP_MAX_BUCKETS", 256)
+    assert sort_ops._gp_sample_cap() == 300_000  # static floor binds
