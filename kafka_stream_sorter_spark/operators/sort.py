@@ -260,128 +260,163 @@ def _gp_sample_cap() -> int:
     return max(GP_SAMPLE_CAP, 2 * GP_MIN_SAMPLES_PER_BOUNDARY * GP_MAX_BUCKETS)
 
 
-def _two_key_composite(
+def _composite_key(
     df: DataFrame, keys: tuple, kcols: list, sample_keys: list, bounds: list
 ):
-    """(composite_expr, composite_bounds) for 2-key shapes that pack into
-    one long, or None. Dispatches: (integral, integral) → range-packed
-    composite (_integral_pair_composite); (low-card string, integral) →
-    the rank composite below.
+    """(composite_expr_and_bounds_or_None, string_rank_maps) for N-field
+    key shapes that rank-pack into ONE long — the r10 generalization of
+    the two round-9 pair composites (this function subsumes and replaces
+    `_two_key_composite` / `_integral_pair_composite`).
 
-    Folds the pair into ONE long per row — ``(rank(f0)+1)·2^48 + f1`` —
-    so the bucket binary search AND the per-bucket window sort run on a
-    single long field, the exact cost profile of a unique-key fanout
-    (sort_with_tiebreak's radix composite applied to the position
-    machinery). Strictly order-isomorphic to (f0 asc-nulls-first,
-    f1 asc): null f0 ranks -1 → composite 0·2^48 + f1, below every real
-    rank; collisions are impossible for tie-breaks in [0, 2^48).
-    Positions are therefore bit-identical to the struct-compare path.
+    Each key field encodes to a non-negative code whose numeric order
+    equals the field's asc-nulls-first order:
 
-    Motivation is measured, not theoretical (SCALING.md round-9): at
-    300M/16384 the positioned pipeline's cost scales with the SEARCH
-    FIELD COUNT — two long keys ran 2.4× one (327 s vs ~137 s in-window)
-    and the string shape 1.6× that again (525 s) even after the
-    dict-rank premap removed every string ordering compare — so
-    collapsing fields, not cheapening comparators, is what pays.
+      * integral field:        code = v − min + 1,   null → 0
+      * low-card string field: code = rank(v) + 1,   null → 0
 
-    ONE gating pre-job (keys-only scan, limit-bounded collect, the
-    sort_with_tiebreak pre-job shape): groupBy(f0) with f1 min/max/
-    null-count partials. Composite requires: exactly 2 key fields,
-    string f0 with ≤ GP_DICT_RANK_MAX_KEYS exact-distinct values
-    covering every bound, integral f1, zero null f1, f1 range within
-    [0, 2^48). Any miss → None (callers fall back to the premap or
-    plain struct compares — semantics never depend on this path)."""
+    and the codes fold left into one long with per-field bit widths
+    ``w_i = bit_length(max_code_i)`` — strictly order-isomorphic to the
+    lexicographic (f0 asc-nulls-first, f1 …, …) order whenever
+    Σ w_i ≤ 63, so bucket ids AND window row_numbers are BIT-IDENTICAL
+    to the struct-compare path while the search and the per-bucket sort
+    run on a single long: the unique-key cost profile for ANY packable
+    field count. Unlike the r9 pair composites this accepts nulls and
+    negatives in EVERY field (the +1 null slot replaces their
+    zero-null-tie-break gates).
+
+    Motivation is measured (SCALING.md): the positioned pipeline's cost
+    scales with SEARCH FIELD COUNT (r9 decomposition probe: two long
+    keys 2.4× one at 300M, comparator type irrelevant), and the r10
+    fallback probe put the best-case THREE-field shape at 9.95× its
+    plain-sort control at 150M (scripts/probe_gp_fallback.py) — right
+    at the pre-written rework threshold.
+
+    Pre-job accounting (both keys-only scans, caller-gated on
+    est_rows ≥ GP_COMPOSITE_MIN_ROWS so fixture-scale tables never pay):
+      A. one global agg — min/max per integral field (skipped when none);
+      B. one exact-distinct over ALL string fields at once via
+         explode(array(struct(field_idx, value))) (skipped when none),
+         limit-bounded so the collect can never exceed
+         fields × (GP_DICT_RANK_MAX_KEYS + 2) rows.
+
+    Declines (→ (None, rmaps)): <2 fields, any non-integral/non-string
+    field, any string field over GP_DICT_RANK_MAX_KEYS exact-distinct
+    values (sample-pre-gated for free before job B), a bound value
+    outside an exact domain (non-deterministic source belt), or total
+    width > 63 bits. The returned ``rmaps`` carry any exact string
+    domains job B already paid for, so the `_dict_rank_maps` fallback
+    never repeats them."""
     from pyspark.sql import types as T
 
     integral = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
-    if len(keys) != 2:
-        return None
-    if not isinstance(df.schema[keys[1]].dataType, integral):
-        return None
-    if isinstance(df.schema[keys[0]].dataType, integral):
-        return _integral_pair_composite(df, kcols, bounds)
-    if not isinstance(df.schema[keys[0]].dataType, T.StringType):
-        return None
-    if len({t[0] for t in sample_keys}) > GP_DICT_RANK_MAX_KEYS:
-        return None
-    rows = (
-        df.groupBy(kcols[0].alias("v"))
-        .agg(
-            F.min(kcols[1]).alias("lo"),
-            F.max(kcols[1]).alias("hi"),
-            F.sum(kcols[1].isNull().cast("long")).alias("null_tb"),
+    rmaps: dict[int, dict] = {}
+    if len(keys) < 2:
+        return None, rmaps
+    str_idx: list[int] = []
+    int_idx: list[int] = []
+    for i, k in enumerate(keys):
+        dt = df.schema[k].dataType
+        if isinstance(dt, integral):
+            int_idx.append(i)
+        elif isinstance(dt, T.StringType):
+            # free pre-gate on the already-collected boundary sample
+            if len({t[i] for t in sample_keys}) > GP_DICT_RANK_MAX_KEYS:
+                return None, rmaps
+            str_idx.append(i)
+        else:
+            return None, rmaps
+    lo: dict[int, int] = {}
+    span: dict[int, int] = {}
+    if int_idx:
+        agg_row = df.agg(
+            *[
+                a
+                for i in int_idx
+                for a in (
+                    F.min(kcols[i]).alias(f"lo{i}"),
+                    F.max(kcols[i]).alias(f"hi{i}"),
+                )
+            ]
+        ).collect()[0]
+        for i in int_idx:
+            if agg_row[f"lo{i}"] is None:  # all-null field: code is always 0
+                lo[i], span[i] = 0, -1
+            else:
+                lo[i] = int(agg_row[f"lo{i}"])
+                span[i] = int(agg_row[f"hi{i}"]) - lo[i]
+    if str_idx:
+        lim = len(str_idx) * (GP_DICT_RANK_MAX_KEYS + 2)
+        rows = (
+            df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).alias("i"), kcols[i].alias("v")
+                            )
+                            for i in str_idx
+                        ]
+                    )
+                ).alias("x")
+            )
+            .select("x.i", "x.v")
+            .distinct()
+            .limit(lim)
+            .collect()
         )
-        .limit(GP_DICT_RANK_MAX_KEYS + 2)
-        .collect()
-    )
-    vals = [r["v"] for r in rows]
-    if len([v for v in vals if v is not None]) > GP_DICT_RANK_MAX_KEYS:
-        return None
-    if any(r["null_tb"] for r in rows):
-        return None
-    los = [r["lo"] for r in rows if r["lo"] is not None]
-    his = [r["hi"] for r in rows if r["hi"] is not None]
-    if not los or min(los) < 0 or max(his) >= DICT_SORT_TIEBREAK_BOUND:
-        return None
-    rmap = {v: j for j, v in enumerate(sorted(v for v in vals if v is not None))}
-    if any(b[0] not in rmap for b in bounds):
-        return None
-    comp_bounds = [
-        (rmap[b[0]] + 1) * DICT_SORT_TIEBREAK_BOUND + int(b[1]) for b in bounds
-    ]
-    rank_expr = F.create_map(
-        *[F.lit(x) for v, j in sorted(rmap.items()) for x in (v, j)]
-    )[kcols[0]].cast("long")
-    comp_expr = (F.coalesce(rank_expr, F.lit(-1)) + F.lit(1)) * F.lit(
-        DICT_SORT_TIEBREAK_BOUND
-    ) + kcols[1].cast("long")
-    return comp_expr, comp_bounds
+        if len(rows) >= lim:  # truncated ⇒ some domain overflowed
+            return None, rmaps
+        by_field: dict[int, list] = {i: [] for i in str_idx}
+        for r in rows:
+            if r["v"] is not None:
+                by_field[r["i"]].append(r["v"])
+        for i in str_idx:
+            if len(by_field[i]) > GP_DICT_RANK_MAX_KEYS:
+                return None, rmaps
+            rmaps[i] = {v: j for j, v in enumerate(sorted(by_field[i]))}
+            if any(b[i] not in rmaps[i] for b in bounds):
+                return None, rmaps
+    widths: list[int] = []
+    for i in range(len(keys)):
+        max_code = (span[i] + 1) if i in lo else len(rmaps[i])
+        widths.append(max(1, max_code.bit_length()))
+    if sum(widths) > 63:
+        return None, rmaps
 
+    def _code_expr(i: int):
+        if i in lo:
+            return F.coalesce(
+                kcols[i].cast("long") - F.lit(lo[i]) + F.lit(1), F.lit(0)
+            )
+        if not rmaps[i]:  # domain is {null}: code is constant 0
+            return F.lit(0).cast("long")
+        lookup = F.create_map(
+            *[F.lit(x) for v, j in sorted(rmaps[i].items()) for x in (v, j)]
+        )[kcols[i]].cast("long")
+        return F.coalesce(lookup + F.lit(1), F.lit(0))
 
-def _integral_pair_composite(df: DataFrame, kcols: list, bounds: list):
-    """(composite_expr, composite_bounds) for a pair of INTEGRAL key
-    fields, or None — the general-field-count fix the 300M discriminator
-    demanded (two long keys paid the same 2.4× per-field search cost as
-    the string pair; SCALING.md round-9).
+    def _code_val(i: int, v):
+        return (int(v) - lo[i] + 1) if i in lo else (rmaps[i][v] + 1)
 
-    One agg pre-job (keys-only scan) fetches both fields' min/max/null
-    counts; the composite is range-packed:
-
-        (coalesce(f0 − min0, −1) + 1) · 2^b1  +  (f1 − min1)
-
-    with b1 = bit_length(max1 − min1), so the f1 term occupies the low
-    b1 bits collision-free and null f0 packs as 0 — below every real
-    value, the asc-nulls-first order. Gates: zero null f1 (a null f1
-    would lose its f0 ordering), and (span0 + 2) · 2^b1 + span1 < 2^63
-    (no overflow). Strict order isomorphism ⇒ positions bit-identical.
-
-    The agg pre-job is NOT self-gated on cardinality (min/max over two
-    integral fields is one cheap keys-only scan at any domain size) —
-    the caller's GP_COMPOSITE_MIN_ROWS est_rows gate keeps it off small
-    tables where it can't pay for itself (r9 ADVICE item 3)."""
-    agg = df.agg(
-        F.min(kcols[0]).alias("lo0"),
-        F.max(kcols[0]).alias("hi0"),
-        F.min(kcols[1]).alias("lo1"),
-        F.max(kcols[1]).alias("hi1"),
-        F.sum(kcols[1].isNull().cast("long")).alias("null_tb"),
-    ).collect()[0]
-    if agg["lo0"] is None or agg["lo1"] is None or agg["null_tb"]:
-        return None
-    lo0, lo1 = int(agg["lo0"]), int(agg["lo1"])
-    span0, span1 = int(agg["hi0"]) - lo0, int(agg["hi1"]) - lo1
-    shift = 1 << span1.bit_length()
-    if (span0 + 2) * shift + span1 >= 1 << 63:
-        return None
-    comp_expr = (
-        F.coalesce(kcols[0].cast("long") - F.lit(lo0), F.lit(-1)) + F.lit(1)
-    ) * F.lit(shift) + (kcols[1].cast("long") - F.lit(lo1))
-    comp_bounds = [(int(b[0]) - lo0 + 1) * shift + (int(b[1]) - lo1) for b in bounds]
-    return comp_expr, comp_bounds
+    comp_expr = _code_expr(0)
+    for i in range(1, len(keys)):
+        comp_expr = comp_expr * F.lit(1 << widths[i]) + _code_expr(i)
+    comp_bounds = []
+    for b in bounds:  # bounds are null-free (filtered driver-side)
+        acc = _code_val(0, b[0])
+        for i in range(1, len(keys)):
+            acc = (acc << widths[i]) + _code_val(i, b[i])
+        comp_bounds.append(acc)
+    return (comp_expr, comp_bounds), rmaps
 
 
 def _dict_rank_maps(
-    df: DataFrame, keys: tuple, kcols: list, sample_keys: list, bounds: list
+    df: DataFrame,
+    keys: tuple,
+    kcols: list,
+    sample_keys: list,
+    bounds: list,
+    precomputed: dict | None = None,
 ) -> dict:
     """{field index: {string value: rank}} for low-cardinality string key
     fields, where rank order ≡ Spark's string order (order isomorphism —
@@ -397,12 +432,20 @@ def _dict_rank_maps(
     2-key (string, long) positioned write at 4.6× the (long,)-keyed one
     in the same window while their plain-sort controls were EQUAL —
     the gap is UTF8 ordering compares in the bucket search (14/row)
-    and the per-bucket window sort (SCALING.md round-9)."""
+    and the per-bucket window sort (SCALING.md round-9).
+
+    ``precomputed`` carries exact string domains `_composite_key`'s
+    distinct job already paid for (r10) — those fields skip the
+    per-field distinct job here (the bounds-coverage belt still runs)."""
     from pyspark.sql import types as T
 
     out: dict[int, dict] = {}
     for i, k in enumerate(keys):
         if not isinstance(df.schema[k].dataType, T.StringType):
+            continue
+        if precomputed and i in precomputed:
+            if not any(b[i] not in precomputed[i] for b in bounds):
+                out[i] = precomputed[i]
             continue
         if len({t[i] for t in sample_keys}) > GP_DICT_RANK_MAX_KEYS:
             continue
@@ -627,18 +670,23 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
     # not — the r9 verdict's +0.6s keyed_fanout fixture tax); both are
     # order-isomorphic, so positions are bit-identical to plain struct
     # compares in every regime:
-    # 1. composite — (low-card string, integral tie-break) or (integral,
-    #    integral) folds to ONE long, collapsing search AND window sort
-    #    to the unique-key cost profile (_two_key_composite; the
-    #    measured 300M win: 463→125s / 327→85s);
-    # 2. dict-rank premap — other low-card string fields rank-encode so
-    #    comparisons run on longs (_dict_rank_maps).
+    # 1. composite — ANY ≥2-field mix of integral and low-card string
+    #    fields whose rank-pack fits 63 bits folds to ONE long,
+    #    collapsing search AND window sort to the unique-key cost
+    #    profile (_composite_key; the measured 300M pair wins:
+    #    463→125s / 327→85s, and the r10 3-field probe 9.95×→~composite
+    #    regime);
+    # 2. dict-rank premap — low-card string fields of DECLINED shapes
+    #    rank-encode so comparisons run on longs (_dict_rank_maps,
+    #    reusing any domains the composite's distinct job already paid).
     rank_maps: dict[int, dict] = {}
     composite = None
     if bounds and est_rows >= GP_COMPOSITE_MIN_ROWS:
-        composite = _two_key_composite(df, keys, kcols, sample_keys, bounds)
+        composite, pre_rmaps = _composite_key(df, keys, kcols, sample_keys, bounds)
         if composite is None:
-            rank_maps = _dict_rank_maps(df, keys, kcols, sample_keys, bounds)
+            rank_maps = _dict_rank_maps(
+                df, keys, kcols, sample_keys, bounds, precomputed=pre_rmaps
+            )
     bucketed = df
     rank_cols: list[str] = []
     if composite is not None:

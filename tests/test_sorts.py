@@ -466,18 +466,22 @@ def test_with_global_position_dict_rank_declines_high_cardinality(
 
 
 def test_with_global_position_composite_gates_and_fallback(spark, monkeypatch):
-    """The 2-key composite fast path requires a non-negative integral
-    tie-break < 2^48; a negative tie-break must decline the composite
-    (its long would collide across ranks) and fall back to the dict-rank
-    premap — with positions exact in both regimes."""
+    """r10: the generic rank-pack accepts negative tie-breaks (offset by
+    the table min — the r9 pair composite declined them), but a tie-break
+    whose SPAN overflows the 63-bit budget must decline and fall back to
+    the dict-rank premap — with positions exact in both regimes, and the
+    premap REUSING the string domain the composite's distinct job already
+    collected (no second distinct job; observable via dict_rank_fields)."""
     monkeypatch.setattr(sort_ops, "GP_SAMPLE_MOD", 2)
     monkeypatch.setattr(sort_ops, "GP_COMPOSITE_MIN_ROWS", 0)
     n = 3000
-    # composite-eligible: tb >= 0
-    ok_rows = [(f"t{(i * 13) % 5}", i) for i in range(n)]
-    # composite-ineligible: negative tb
+    # packs since r10: negative tb, span n < 2^12
     neg_rows = [(f"t{(i * 13) % 5}", i - n // 2) for i in range(n)]
-    for rows, want_composite in ((ok_rows, True), (neg_rows, False)):
+    # declines: tb span ~2^63 overflows the width budget (3 + 64 bits)
+    wide_rows = [(f"t{(i * 13) % 5}", (i - n // 2) << 40) for i in range(n)]
+    wide_rows[0] = ("t0", -(1 << 62))
+    wide_rows[1] = ("t1", (1 << 62) - 1)
+    for rows, want_composite in ((neg_rows, True), (wide_rows, False)):
         df = spark.createDataFrame(rows, "k string, tb long")
         stats: dict = {}
         got = (
@@ -493,9 +497,10 @@ def test_with_global_position_composite_gates_and_fallback(spark, monkeypatch):
 
 
 def test_with_global_position_integral_pair_composite(spark, monkeypatch):
-    """(integral, integral) 2-key shapes range-pack into one long
-    (negative values included, offset by min); null tie-breaks must
-    decline the composite. Positions exact in both regimes."""
+    """(integral, integral) 2-key shapes range-pack into one long —
+    negative values included (offset by min) and, since r10, null
+    tie-breaks too (the +1 null slot packs null below every real value,
+    the asc-nulls-first order the struct path uses). Positions exact."""
     monkeypatch.setattr(sort_ops, "GP_SAMPLE_MOD", 2)
     monkeypatch.setattr(sort_ops, "GP_COMPOSITE_MIN_ROWS", 0)
     n = 3000
@@ -511,7 +516,7 @@ def test_with_global_position_integral_pair_composite(spark, monkeypatch):
     assert stats["composite_key"] is True, stats
     assert [(r["k"], r["tb"]) for r in got] == sorted(rows)
 
-    null_rows = rows + [(3, None)]
+    null_rows = rows + [(3, None), (None, 17), (None, None)]
     df2 = spark.createDataFrame(null_rows, "k long, tb long")
     stats2: dict = {}
     got2 = (
@@ -520,11 +525,91 @@ def test_with_global_position_integral_pair_composite(spark, monkeypatch):
         .select("k", "tb")
         .collect()
     )
-    assert stats2["composite_key"] is False, stats2
+    # r10: nulls no longer decline — the null slot packs them exactly
+    assert stats2["composite_key"] is True, stats2
     expect = sorted(
-        null_rows, key=lambda r: (r[0], (r[1] is not None, r[1] or 0))
+        null_rows,
+        key=lambda r: (
+            (r[0] is not None, r[0] if r[0] is not None else 0),
+            (r[1] is not None, r[1] if r[1] is not None else 0),
+        ),
     )
     assert [(r["k"], r["tb"]) for r in got2] == expect
+
+
+def test_with_global_position_three_field_composite(spark, monkeypatch):
+    """r10 (the fallback probe's 9.95× finding): a THREE-field
+    (low-card string, integral, integral) shape — the exact shape
+    scripts/probe_gp_fallback.py measured on the declined path — must now
+    rank-pack into one long, nulls in every field included, with
+    positions bit-identical to the struct-compare order."""
+    monkeypatch.setattr(sort_ops, "GP_SAMPLE_MOD", 2)
+    monkeypatch.setattr(sort_ops, "GP_COMPOSITE_MIN_ROWS", 0)
+    n = 4000
+    rows = [
+        (
+            None if i % 97 == 0 else f"t{(i * 13) % 7}",
+            None if i % 89 == 0 else (i * 31) % 1000 - 500,
+            i,
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "k string, u long, tb long")
+    stats: dict = {}
+    got = (
+        sort_ops.with_global_position(df, "k", "u", "tb", stats=stats)
+        .orderBy("global_pos")
+        .select("k", "u", "tb", "global_pos")
+        .collect()
+    )
+    assert stats["composite_key"] is True, stats
+    assert stats["dict_rank_fields"] == [], stats
+    expect = sorted(
+        rows,
+        key=lambda r: (
+            (r[0] is not None, r[0] or ""),
+            (r[1] is not None, r[1] if r[1] is not None else 0),
+            r[2],
+        ),
+    )
+    assert [(r["k"], r["u"], r["tb"]) for r in got] == expect
+    assert [r["global_pos"] for r in got] == list(range(1, n + 1))
+
+
+def test_composite_key_width_budget_and_mixed_fields(spark, monkeypatch):
+    """_composite_key unit edges: a (string, string, int) mix packs (one
+    fused distinct job covers both string fields); four fields summing
+    past 63 bits decline; a non-packable dtype (double) declines."""
+    monkeypatch.setattr(sort_ops, "GP_SAMPLE_MOD", 2)
+    monkeypatch.setattr(sort_ops, "GP_COMPOSITE_MIN_ROWS", 0)
+    n = 2000
+    rows = [
+        (f"a{(i * 7) % 3}", f"b{(i * 11) % 4}", i) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "k1 string, k2 string, tb long")
+    stats: dict = {}
+    got = (
+        sort_ops.with_global_position(df, "k1", "k2", "tb", stats=stats)
+        .orderBy("global_pos")
+        .select("k1", "k2", "tb")
+        .collect()
+    )
+    assert stats["composite_key"] is True, stats
+    assert [(r["k1"], r["k2"], r["tb"]) for r in got] == sorted(rows)
+
+    # double key field: not packable, premap still covers the strings
+    drows = [(f"a{(i * 7) % 3}", float(i % 13) / 7.0, i) for i in range(n)]
+    ddf = spark.createDataFrame(drows, "k1 string, k2 double, tb long")
+    dstats: dict = {}
+    dgot = (
+        sort_ops.with_global_position(ddf, "k1", "k2", "tb", stats=dstats)
+        .orderBy("global_pos")
+        .select("k1", "k2", "tb")
+        .collect()
+    )
+    assert dstats["composite_key"] is False, dstats
+    assert dstats["dict_rank_fields"] == [0], dstats
+    assert [(r["k1"], r["k2"], r["tb"]) for r in dgot] == sorted(drows)
 
 
 def test_with_global_position_keyopt_gated_below_min_rows(spark, monkeypatch):
