@@ -262,7 +262,7 @@ def main() -> None:
     # stdout digest: headline scalars + slowest-query timings, hard-capped
     # at 4000 bytes so the driver's 4 KB tail always json-parses.
     digest = {k: v for k, v in out.items() if k not in ("queries", "queries_min")}
-    digest["full_record"] = f"bench_full_r{tag}.json"
+    digest["full_record"] = full_name
     if errors:  # n_errors stays exact; messages may be elided for size
         digest["errors"] = {k: v[:120] for k, v in list(errors.items())[:5]}
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])
@@ -288,7 +288,7 @@ def main() -> None:
                     "unit": "sec",
                     "sf": out.get("sf"),
                     "n_errors": out.get("n_errors", 0),
-                    "full_record": f"bench_full_r{tag}.json",
+                    "full_record": full_name,
                 }
             )
     print(short)
