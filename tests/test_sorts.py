@@ -638,6 +638,48 @@ def test_with_global_position_keyopt_gated_below_min_rows(spark, monkeypatch):
         assert [(r["k"], r["tb"]) for r in got] == sorted(rows)
 
 
+def test_composite_key_distinct_truncation_declines(spark, monkeypatch):
+    """_composite_key's fused explode-distinct pre-job is limit-bounded;
+    a string domain that passes the free SAMPLE pre-gate but overflows
+    the exact-distinct limit (the non-deterministic-source belt / skewed
+    sample case) must decline rather than rank-pack a partial map —
+    a value outside the map would code to the null slot and mis-sort."""
+    n = 300
+    rows = [(f"s{i % 120:03d}", i) for i in range(n)]  # 120 > 64 distinct
+    df = spark.createDataFrame(rows, "k string, tb long")
+    kcols = [F.col("k"), F.col("tb")]
+    # a sample that (wrongly) suggests a tiny domain — the exact job must
+    # still catch the overflow
+    sample_keys = [("s000", 0), ("s001", 1), ("s002", 2)]
+    bounds = [("s001", 1)]
+    comp, rmaps = sort_ops._composite_key(
+        df, ("k", "tb"), kcols, sample_keys, bounds
+    )
+    assert comp is None
+    assert rmaps == {}  # nothing usable was collected for the premap
+
+
+def test_composite_key_width_boundary_exact_63_bits(spark):
+    """The width budget is inclusive: two fields summing to exactly 63
+    bits must pack (max composite < 2^63 by the per-field max-code
+    bound); 64 must decline."""
+    kcols = [F.col("a"), F.col("b")]
+    sample_keys = [(0, 0)]
+    bounds = [(1, 1)]
+    # spans chosen so bit widths are (31, 32): (2^31-2)+1 -> 31 bits,
+    # (2^32-2)+1 -> 32 bits
+    df63 = spark.createDataFrame(
+        [(0, 0), ((1 << 31) - 2, (1 << 32) - 2)], "a long, b long"
+    )
+    comp, _ = sort_ops._composite_key(df63, ("a", "b"), kcols, sample_keys, bounds)
+    assert comp is not None
+    df64 = spark.createDataFrame(
+        [(0, 0), ((1 << 32) - 2, (1 << 32) - 2)], "a long, b long"
+    )
+    comp2, _ = sort_ops._composite_key(df64, ("a", "b"), kcols, sample_keys, bounds)
+    assert comp2 is None
+
+
 def test_gp_sample_cap_derived_from_bucket_count(monkeypatch):
     """r10 (r9 verdict #4): the effective sample cap must co-scale with
     GP_MAX_BUCKETS so samples-per-boundary never drops below the floor the
