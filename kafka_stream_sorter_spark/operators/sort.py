@@ -260,6 +260,22 @@ def _gp_sample_cap() -> int:
     return max(GP_SAMPLE_CAP, 2 * GP_MIN_SAMPLES_PER_BOUNDARY * GP_MAX_BUCKETS)
 
 
+def _ts_micros(v) -> int:
+    """Driver-side twin of functions/numeric.epoch_us for collected
+    boundary datetimes (session timezone pinned UTC engine-wide, so
+    collected timestamps arrive as UTC wall-clock naive datetimes;
+    tz-aware values normalize first). Integer arithmetic only — no
+    float microseconds. Exactness with the JVM encode is NOT load-
+    bearing for positions (only monotonicity is — see _composite_key's
+    docstring); it is load-bearing for bucket-balance parity, which the
+    fixture tests pin bit-identical anyway."""
+    import datetime as _dt
+
+    if v.tzinfo is not None:
+        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+
+
 def _composite_key(
     df: DataFrame, keys: tuple, kcols: list, sample_keys: list, bounds: list
 ):
@@ -271,8 +287,15 @@ def _composite_key(
     Each key field encodes to a non-negative code whose numeric order
     equals the field's asc-nulls-first order:
 
-      * integral field:        code = v − min + 1,   null → 0
-      * low-card string field: code = rank(v) + 1,   null → 0
+      * integral field:        code = v − min + 1,          null → 0
+      * timestamp field:       code = epoch_us(v) − min + 1, null → 0
+        (functions/numeric.epoch_us — the engine's ONE epoch
+        extraction, UTC-pinned; micros order ≡ timestamp order, so the
+        encode is order-isomorphic; the Python-side bound conversion
+        only needs MONOTONICITY, since any monotone threshold shift
+        re-partitions the key space without reordering it — positions
+        stay exact by construction)
+      * low-card string field: code = rank(v) + 1,          null → 0
 
     and the codes fold left into one long with per-field bit widths
     ``w_i = bit_length(max_code_i)`` — strictly order-isomorphic to the
@@ -284,57 +307,91 @@ def _composite_key(
     negatives in EVERY field (the +1 null slot replaces their
     zero-null-tie-break gates).
 
-    Motivation is measured (SCALING.md): the positioned pipeline's cost
-    scales with SEARCH FIELD COUNT (r9 decomposition probe: two long
-    keys 2.4× one at 300M, comparator type irrelevant), and the r10
-    fallback probe put the best-case THREE-field shape at 9.95× its
-    plain-sort control at 150M (scripts/probe_gp_fallback.py) — right
-    at the pre-written rework threshold.
+    When the fields do NOT all fit one long, ADJACENT runs that do are
+    still packed (greedy left-to-right, which is optimal for minimizing
+    contiguous groups under a budget): grouping adjacent fields
+    preserves lexicographic order — (f0, f1, f2) ≡ ((f0,f1), f2) — so
+    e.g. the canonical (type, event_time, unique_id) shape whose widths
+    sum past 63 bits still collapses from 3 search fields to 2.
+    Unpackable fields (floats, wide strings, ≥63-bit spans) become
+    singleton groups; the measured cost law this serves is PER SEARCH
+    FIELD (~2.4×/extra at 300M, comparator type irrelevant — r9
+    decomposition probe), and the r10 fallback probe put the best-case
+    three-field shape at 9.95× its plain-sort control at 150M.
+
+    Returns ``(groups, rmaps)`` where groups is a list of
+    ``{"idx": [field indices], "expr": Column|None, "bounds":
+    [packed ints]|None}`` — one entry per SEARCH field, packed groups
+    carrying their composite expr/bounds and singletons (expr None)
+    left for the caller to wire raw or rank-premapped. ``(None,
+    rmaps)`` when no group of ≥2 fields exists — <2 keys, no adjacent
+    packable-KIND pair (early, before any job), per-field width
+    overflows, fused-distinct truncation (a sampled-low but
+    actually-wide string domain), or a bound value outside an exact
+    domain (non-deterministic source belt). The returned ``rmaps``
+    carry any exact string domains job B already paid for, so the
+    `_dict_rank_maps` fallback never repeats them.
 
     Pre-job accounting (both keys-only scans, caller-gated on
     est_rows ≥ GP_COMPOSITE_MIN_ROWS so fixture-scale tables never pay):
-      A. one global agg — min/max per integral field (skipped when none);
-      B. one exact-distinct over ALL string fields at once via
-         explode(array(struct(field_idx, value))) (skipped when none),
-         limit-bounded so the collect can never exceed
-         fields × (GP_DICT_RANK_MAX_KEYS + 2) rows.
-
-    Declines (→ (None, rmaps)): <2 fields, any non-integral/non-string
-    field, any string field over GP_DICT_RANK_MAX_KEYS exact-distinct
-    values (sample-pre-gated for free before job B), a bound value
-    outside an exact domain (non-deterministic source belt), or total
-    width > 63 bits. The returned ``rmaps`` carry any exact string
-    domains job B already paid for, so the `_dict_rank_maps` fallback
-    never repeats them."""
+      A. one global agg — min/max per integral/timestamp field, over
+         the ENCODED exprs so the driver receives longs (skipped when
+         none);
+      B. one exact-distinct over ALL candidate string fields at once
+         via explode(array(struct(field_idx, value))) (skipped when
+         none), limit-bounded so the collect can never exceed
+         fields × (GP_DICT_RANK_MAX_KEYS + 2) rows."""
     from pyspark.sql import types as T
 
+    from kafka_stream_sorter_spark.functions.numeric import epoch_us
+
     integral = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    timestampish = (T.TimestampType, T.TimestampNTZType)
     rmaps: dict[int, dict] = {}
     if len(keys) < 2:
         return None, rmaps
     str_idx: list[int] = []
-    int_idx: list[int] = []
+    int_idx: list[int] = []  # integral AND timestamp fields: both encode
+    ts_idx: set[int] = set()
+    enc: dict[int, object] = {}  # field idx → long-encoding Column
+    packable: list[bool] = []  # candidate by KIND (width checked later)
     for i, k in enumerate(keys):
         dt = df.schema[k].dataType
         if isinstance(dt, integral):
             int_idx.append(i)
-        elif isinstance(dt, T.StringType):
+            enc[i] = kcols[i].cast("long")
+            packable.append(True)
+        elif isinstance(dt, timestampish):
+            int_idx.append(i)
+            ts_idx.add(i)
+            enc[i] = epoch_us(kcols[i])
+            packable.append(True)
+        elif isinstance(dt, T.StringType) and (
             # free pre-gate on the already-collected boundary sample
-            if len({t[i] for t in sample_keys}) > GP_DICT_RANK_MAX_KEYS:
-                return None, rmaps
+            len({t[i] for t in sample_keys}) <= GP_DICT_RANK_MAX_KEYS
+        ):
             str_idx.append(i)
+            packable.append(True)
         else:
-            return None, rmaps
+            packable.append(False)
+    # no adjacent packable-kind pair ⇒ no group of ≥2 can ever form —
+    # bail before paying either pre-job (preserves the old early-outs
+    # for e.g. (float, int) or a high-card-sampled string pair)
+    if not any(packable[i] and packable[i + 1] for i in range(len(keys) - 1)):
+        return None, rmaps
     lo: dict[int, int] = {}
     span: dict[int, int] = {}
     if int_idx:
+        # aggregate the ENCODED exprs so the driver receives longs —
+        # min/max commute with the monotone encodes, and no Python-side
+        # datetime→micros conversion can disagree with the JVM's here
         agg_row = df.agg(
             *[
                 a
                 for i in int_idx
                 for a in (
-                    F.min(kcols[i]).alias(f"lo{i}"),
-                    F.max(kcols[i]).alias(f"hi{i}"),
+                    F.min(enc[i]).alias(f"lo{i}"),
+                    F.max(enc[i]).alias(f"hi{i}"),
                 )
             ]
         ).collect()[0]
@@ -364,30 +421,60 @@ def _composite_key(
             .limit(lim)
             .collect()
         )
-        if len(rows) >= lim:  # truncated ⇒ some domain overflowed
-            return None, rmaps
+        if len(rows) >= lim:  # truncated ⇒ some domain overflowed; the
+            # culprit is unattributable, so every string candidate
+            # demotes to unpackable (rare: requires a sampled-low but
+            # actually-wide domain)
+            for i in str_idx:
+                packable[i] = False
+            str_idx = []
         by_field: dict[int, list] = {i: [] for i in str_idx}
         for r in rows:
-            if r["v"] is not None:
+            if r["v"] is not None and r["i"] in by_field:
                 by_field[r["i"]].append(r["v"])
         for i in str_idx:
             if len(by_field[i]) > GP_DICT_RANK_MAX_KEYS:
-                return None, rmaps
+                packable[i] = False
+                continue
             rmaps[i] = {v: j for j, v in enumerate(sorted(by_field[i]))}
             if any(b[i] not in rmaps[i] for b in bounds):
-                return None, rmaps
-    widths: list[int] = []
+                packable[i] = False  # belt: unmappable bound value
+    # per-field code widths; None = unpackable (by kind, domain, or an
+    # individual width that could never share a 63-bit long)
+    widths: list[int | None] = []
     for i in range(len(keys)):
-        max_code = (span[i] + 1) if i in lo else len(rmaps[i])
-        widths.append(max(1, max_code.bit_length()))
-    if sum(widths) > 63:
+        if not packable[i]:
+            widths.append(None)
+            continue
+        max_code = (span[i] + 1) if i in lo else len(rmaps.get(i, ()))
+        w = max(1, max_code.bit_length())
+        widths.append(w if w < 63 else None)
+    # greedy left-to-right grouping under the 63-bit budget — optimal
+    # for minimizing contiguous group count
+    fgroups: list[list[int]] = []
+    cur: list[int] = []
+    cur_w = 0
+    for i in range(len(keys)):
+        w = widths[i]
+        if w is None:
+            if cur:
+                fgroups.append(cur)
+                cur, cur_w = [], 0
+            fgroups.append([i])
+            continue
+        if cur and cur_w + w > 63:
+            fgroups.append(cur)
+            cur, cur_w = [], 0
+        cur.append(i)
+        cur_w += w
+    if cur:
+        fgroups.append(cur)
+    if max(len(g) for g in fgroups) < 2:
         return None, rmaps
 
     def _code_expr(i: int):
         if i in lo:
-            return F.coalesce(
-                kcols[i].cast("long") - F.lit(lo[i]) + F.lit(1), F.lit(0)
-            )
+            return F.coalesce(enc[i] - F.lit(lo[i]) + F.lit(1), F.lit(0))
         if not rmaps[i]:  # domain is {null}: code is constant 0
             return F.lit(0).cast("long")
         lookup = F.create_map(
@@ -396,18 +483,26 @@ def _composite_key(
         return F.coalesce(lookup + F.lit(1), F.lit(0))
 
     def _code_val(i: int, v):
-        return (int(v) - lo[i] + 1) if i in lo else (rmaps[i][v] + 1)
+        if i in lo:
+            return (_ts_micros(v) if i in ts_idx else int(v)) - lo[i] + 1
+        return rmaps[i][v] + 1
 
-    comp_expr = _code_expr(0)
-    for i in range(1, len(keys)):
-        comp_expr = comp_expr * F.lit(1 << widths[i]) + _code_expr(i)
-    comp_bounds = []
-    for b in bounds:  # bounds are null-free (filtered driver-side)
-        acc = _code_val(0, b[0])
-        for i in range(1, len(keys)):
-            acc = (acc << widths[i]) + _code_val(i, b[i])
-        comp_bounds.append(acc)
-    return (comp_expr, comp_bounds), rmaps
+    groups: list[dict] = []
+    for g in fgroups:
+        if len(g) == 1:
+            groups.append({"idx": g, "expr": None, "bounds": None})
+            continue
+        comp_expr = _code_expr(g[0])
+        for i in g[1:]:
+            comp_expr = comp_expr * F.lit(1 << widths[i]) + _code_expr(i)
+        comp_bounds = []
+        for b in bounds:  # bounds are null-free (filtered driver-side)
+            acc = _code_val(g[0], b[g[0]])
+            for i in g[1:]:
+                acc = (acc << widths[i]) + _code_val(i, b[i])
+            comp_bounds.append(acc)
+        groups.append({"idx": g, "expr": comp_expr, "bounds": comp_bounds})
+    return groups, rmaps
 
 
 def _dict_rank_maps(
@@ -670,46 +765,68 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
     # not — the r9 verdict's +0.6s keyed_fanout fixture tax); both are
     # order-isomorphic, so positions are bit-identical to plain struct
     # compares in every regime:
-    # 1. composite — ANY ≥2-field mix of integral and low-card string
-    #    fields whose rank-pack fits 63 bits folds to ONE long,
-    #    collapsing search AND window sort to the unique-key cost
-    #    profile (_composite_key; the measured 300M pair wins:
-    #    463→125s / 327→85s, and the r10 3-field probe 9.95×→~composite
-    #    regime);
-    # 2. dict-rank premap — low-card string fields of DECLINED shapes
+    # 1. rank-pack — ANY ≥2-field mix of integral/timestamp and low-card
+    #    string fields folds ADJACENT runs that fit 63 bits into one
+    #    long each, collapsing search AND window sort toward the
+    #    unique-key cost profile (_composite_key; measured: 300M pair
+    #    wins 463→125s / 327→85s, 150M 3-field 9.95×→4.75×, 300M
+    #    3-field 1.19× a plain sort); shapes whose widths overflow one
+    #    long still shrink their SEARCH FIELD COUNT (the measured cost
+    #    axis) via partial groups;
+    # 2. dict-rank premap — low-card string fields left ungrouped
     #    rank-encode so comparisons run on longs (_dict_rank_maps,
-    #    reusing any domains the composite's distinct job already paid).
+    #    reusing any domains the pack's distinct job already paid).
     rank_maps: dict[int, dict] = {}
-    composite = None
+    groups = None
+    pre_rmaps: dict[int, dict] = {}
     if bounds and est_rows >= GP_COMPOSITE_MIN_ROWS:
-        composite, pre_rmaps = _composite_key(df, keys, kcols, sample_keys, bounds)
-        if composite is None:
+        groups, pre_rmaps = _composite_key(df, keys, kcols, sample_keys, bounds)
+        if groups is None:
             rank_maps = _dict_rank_maps(
                 df, keys, kcols, sample_keys, bounds, precomputed=pre_rmaps
             )
     bucketed = df
     rank_cols: list[str] = []
-    if composite is not None:
-        comp_expr, comp_bounds = composite
-        rc = "_gp_ck"
+
+    def _rank_col(i: int, rmap: dict):
+        # shared by both branches: materialize the rank premap column
+        nonlocal bucketed
+        rc = f"_gp_rk{i}"
         while rc in bucketed.columns:
             rc += "_"
-        bucketed = bucketed.withColumn(rc, comp_expr)
+        lookup = F.create_map(
+            *[F.lit(x) for v, j in sorted(rmap.items()) for x in (v, j)]
+        )[kcols[i]].cast("long")
+        bucketed = bucketed.withColumn(rc, lookup)
         rank_cols.append(rc)
-        sort_exprs = [F.col(rc)]
-        search_bounds = [comp_bounds]
+        return F.col(rc)
+
+    if groups is not None:
+        sort_exprs = []
+        search_bounds = []
+        for j, g in enumerate(groups):
+            if g["expr"] is not None:
+                rc = f"_gp_ck{j}"
+                while rc in bucketed.columns:
+                    rc += "_"
+                bucketed = bucketed.withColumn(rc, g["expr"])
+                rank_cols.append(rc)
+                sort_exprs.append(F.col(rc))
+                search_bounds.append(g["bounds"])
+                continue
+            i = g["idx"][0]
+            rmap = pre_rmaps.get(i)
+            if rmap and not any(b[i] not in rmap for b in bounds):
+                rank_maps[i] = rmap  # singleton premap (stats + sort)
+                sort_exprs.append(_rank_col(i, rmap))
+                search_bounds.append([rmap[b[i]] for b in bounds])
+            else:
+                sort_exprs.append(kcols[i])
+                search_bounds.append([b[i] for b in bounds])
     else:
         sort_exprs = list(kcols)
         for i in sorted(rank_maps):
-            rc = f"_gp_rk{i}"
-            while rc in bucketed.columns:
-                rc += "_"
-            lookup = F.create_map(
-                *[F.lit(x) for v, j in sorted(rank_maps[i].items()) for x in (v, j)]
-            )[kcols[i]].cast("long")
-            bucketed = bucketed.withColumn(rc, lookup)
-            sort_exprs[i] = F.col(rc)
-            rank_cols.append(rc)
+            sort_exprs[i] = _rank_col(i, rank_maps[i])
         search_bounds = [
             [rank_maps[i][b[i]] for b in bounds]
             if i in rank_maps
@@ -792,7 +909,8 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
             max_bucket_rows=max(by_bucket.values()) if by_bucket else 0,
             resample_truncated=resample_truncated,
             dict_rank_fields=sorted(rank_maps),
-            composite_key=composite is not None,
+            composite_key=groups is not None,
+            search_fields=len(sort_exprs),
         )
     off_arr = F.lit([int(v) for v in offs])  # one py4j call → array<long> literal
     # the window orders by the RANK columns where a premap engaged —

@@ -638,6 +638,106 @@ def test_with_global_position_keyopt_gated_below_min_rows(spark, monkeypatch):
         assert [(r["k"], r["tb"]) for r in got] == sorted(rows)
 
 
+def test_with_global_position_timestamp_field_packs(spark, monkeypatch):
+    """r10: TIMESTAMP key fields rank-pack via epoch_us (micros order ≡
+    timestamp order) — the (type, event_time, id) shape is the canonical
+    100 TB fanout key and previously declined to the per-field fallback.
+    Null timestamps take the null slot; positions must be bit-identical
+    to the struct-compare order."""
+    import datetime as dt
+
+    monkeypatch.setattr(sort_ops, "GP_SAMPLE_MOD", 2)
+    monkeypatch.setattr(sort_ops, "GP_COMPOSITE_MIN_ROWS", 0)
+    base = dt.datetime(2026, 3, 1, 12, 0, 0)
+    n = 4000
+    rows = [
+        (
+            f"t{(i * 13) % 6}",
+            None
+            if i % 101 == 0
+            else base + dt.timedelta(seconds=(i * 37) % 900, microseconds=i % 7),
+            i,
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, tb long")
+    stats: dict = {}
+    got = (
+        sort_ops.with_global_position(df, "k", "ts", "tb", stats=stats)
+        .orderBy("global_pos")
+        .select("k", "ts", "tb", "global_pos")
+        .collect()
+    )
+    assert stats["composite_key"] is True, stats
+    expect = sorted(
+        rows,
+        key=lambda r: (
+            r[0],
+            (r[1] is not None, r[1] if r[1] is not None else base),
+            r[2],
+        ),
+    )
+    assert [(r["k"], r["ts"], r["tb"]) for r in got] == expect
+    assert [r["global_pos"] for r in got] == list(range(1, n + 1))
+
+
+def test_with_global_position_partial_grouping(spark, monkeypatch):
+    """r10: when the full rank-pack overflows 63 bits, ADJACENT runs that
+    fit still pack — (type, ts, wide_id) collapses to 2 search fields
+    ((type,ts) packed + wide_id raw), the canonical over-budget shape.
+    Grouping adjacent fields preserves lexicographic order, so positions
+    stay bit-identical."""
+    import datetime as dt
+
+    monkeypatch.setattr(sort_ops, "GP_SAMPLE_MOD", 2)
+    monkeypatch.setattr(sort_ops, "GP_COMPOSITE_MIN_ROWS", 0)
+    base = dt.datetime(2026, 3, 1)
+    n = 3000
+    rows = [
+        (
+            f"t{(i * 13) % 6}",
+            base + dt.timedelta(seconds=(i * 37) % 600),
+            ((i * 2654435761) % n) << 50,  # ~62-bit span: can't join any group
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, wid long")
+    stats: dict = {}
+    got = (
+        sort_ops.with_global_position(df, "k", "ts", "wid", stats=stats)
+        .orderBy("global_pos")
+        .select("k", "ts", "wid")
+        .collect()
+    )
+    assert stats["composite_key"] is True, stats
+    assert stats["search_fields"] == 2, stats
+    assert [(r["k"], r["ts"], r["wid"]) for r in got] == sorted(rows)
+
+
+def test_with_global_position_grouping_splits_on_unpackable(spark, monkeypatch):
+    """An unpackable field (double) in the middle forces a group break,
+    but the packable run AFTER it still packs: (int, double, int, int)
+    → 3 search fields ((f0) raw-ish, (f1) raw, (f2,f3) packed)."""
+    monkeypatch.setattr(sort_ops, "GP_SAMPLE_MOD", 2)
+    monkeypatch.setattr(sort_ops, "GP_COMPOSITE_MIN_ROWS", 0)
+    n = 3000
+    rows = [
+        ((i * 7) % 5, float((i * 11) % 9) / 4.0, (i * 13) % 17, i)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "a long, b double, c long, tb long")
+    stats: dict = {}
+    got = (
+        sort_ops.with_global_position(df, "a", "b", "c", "tb", stats=stats)
+        .orderBy("global_pos")
+        .select("a", "b", "c", "tb")
+        .collect()
+    )
+    assert stats["composite_key"] is True, stats
+    assert stats["search_fields"] == 3, stats
+    assert [(r["a"], r["b"], r["c"], r["tb"]) for r in got] == sorted(rows)
+
+
 def test_composite_key_distinct_truncation_declines(spark, monkeypatch):
     """_composite_key's fused explode-distinct pre-job is limit-bounded;
     a string domain that passes the free SAMPLE pre-gate but overflows
