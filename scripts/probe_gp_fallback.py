@@ -20,11 +20,16 @@ The probe now measures BOTH regimes in one invocation:
     generic composite; the ratio vs its plain control should sit in the
     composite regime (~1.5-2.5× at probe scales), not the 9.95× the
     declined path paid.
+  * `grouped`: (event_type, ts, event_id) — the canonical training-data
+    fanout key. (type 4b + ts 46b) packs at 50 bits; adding the unique
+    event_id (28b) overflows 63, so the r10 partial grouping packs the
+    adjacent (type, ts) run and leaves event_id raw: 2 search fields
+    instead of 3 (want_search_fields asserts it).
   * `declined`: (event_type, user_hash, event_id) where user_hash is a
-    raw xxhash64 (span ≈ 2^64 — overflows the 63-bit budget, composite
-    declines, dict-rank premap engages on f0 only). This is the TRUE
-    remaining fallback: per-field struct-compare search, ~2.4×/extra
-    field (r9 decomposition probe).
+    raw xxhash64 (span ≈ 2^64 — overflows the 63-bit budget alone, so
+    every group is a singleton and the dict-rank premap engages on f0
+    only). This is the TRUE remaining fallback: per-field
+    struct-compare search, ~2.4×/extra field (r9 decomposition probe).
 
 Each config gets its own in-window plain `orderBy` control to the same
 parquet sink — the ratio is the machine-independent number (CLAUDE.md
@@ -92,18 +97,28 @@ def main() -> None:
         ),
         F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1_000_000)).alias("user_id"),
         F.xxhash64("id", F.lit(11)).alias("user_hash"),
+        # ~2-year micros span (46 bits): (type 4b + ts 46b) packs at 50
+        # bits, + unique event_id (28b at 150M) overflows 63 → the
+        # canonical partial-grouping shape (type, event_time, id)
+        F.timestamp_micros(
+            F.pmod(F.xxhash64("id", F.lit(13)), F.lit(63_000_000_000_000))
+            + F.lit(1_700_000_000_000_000)
+        ).alias("ts"),
     )
 
+    # (keys, want_composite, want_search_fields or None)
     configs = {
-        "packed": (["event_type", "user_id", "event_id"], True),
-        "declined": (["event_type", "user_hash", "event_id"], False),
+        "packed": (["event_type", "user_id", "event_id"], True, 1),
+        "grouped": (["event_type", "ts", "event_id"], True, 2),
+        "declined": (["event_type", "user_hash", "event_id"], False, 3),
     }
-    if ONLY:
-        configs = {ONLY: configs[ONLY]}
+    if ONLY:  # comma list: in-window pairs (cross-invocation ratios are
+        # not comparable on this VM — CLAUDE.md timing rules)
+        configs = {k: configs[k] for k in ONLY.split(",")}
     scratch = "/tmp/probe_gp_fallback_scratch"
     report: dict = {"probe": "gp_fallback_3field_r10", "n_rows": N_ROWS, "configs": {}}
 
-    for label, (keys, want_composite) in configs.items():
+    for label, (keys, want_composite, want_fields) in configs.items():
         stats: dict = {}
         t0 = time.perf_counter()
         pos_df = sort_ops.with_global_position(events, *keys, stats=stats)
@@ -119,6 +134,8 @@ def main() -> None:
         }
         # the intended path must actually be the path under test
         assert stats["composite_key"] is want_composite, (label, stats)
+        if want_fields is not None:
+            assert stats["search_fields"] == want_fields, (label, stats)
         if not want_composite:
             assert stats["dict_rank_fields"] == [0], (label, stats)
 
