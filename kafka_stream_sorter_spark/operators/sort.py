@@ -260,22 +260,6 @@ def _gp_sample_cap() -> int:
     return max(GP_SAMPLE_CAP, 2 * GP_MIN_SAMPLES_PER_BOUNDARY * GP_MAX_BUCKETS)
 
 
-def _ts_micros(v) -> int:
-    """Driver-side twin of functions/numeric.epoch_us for collected
-    boundary datetimes (session timezone pinned UTC engine-wide, so
-    collected timestamps arrive as UTC wall-clock naive datetimes;
-    tz-aware values normalize first). Integer arithmetic only — no
-    float microseconds. Exactness with the JVM encode is NOT load-
-    bearing for positions (only monotonicity is — see _composite_key's
-    docstring); it is load-bearing for bucket-balance parity, which the
-    fixture tests pin bit-identical anyway."""
-    import datetime as _dt
-
-    if v.tzinfo is not None:
-        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-    return (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
-
-
 def _composite_key(
     df: DataFrame, keys: tuple, kcols: list, sample_keys: list, bounds: list
 ):
@@ -291,10 +275,14 @@ def _composite_key(
       * timestamp field:       code = epoch_us(v) − min + 1, null → 0
         (functions/numeric.epoch_us — the engine's ONE epoch
         extraction, UTC-pinned; micros order ≡ timestamp order, so the
-        encode is order-isomorphic; the Python-side bound conversion
-        only needs MONOTONICITY, since any monotone threshold shift
-        re-partitions the key space without reordering it — positions
-        stay exact by construction)
+        encode is order-isomorphic. The CALLER passes ``kcols[i]``
+        ALREADY epoch_us-encoded for timestamp fields and samples the
+        encoded longs, so no collected value ever round-trips through
+        Python datetime — ``datetime.fromtimestamp`` runs in the driver
+        OS timezone, which the session timezone does not control, and
+        is non-monotone across a DST fall-back: packed bounds could
+        sort non-ascending and break the binary search (r10 ADVICE,
+        medium). Everything driver-side is integer micros.)
       * low-card string field: code = rank(v) + 1,          null → 0
 
     and the codes fold left into one long with per-field bit widths
@@ -334,16 +322,18 @@ def _composite_key(
 
     Pre-job accounting (both keys-only scans, caller-gated on
     est_rows ≥ GP_COMPOSITE_MIN_ROWS so fixture-scale tables never pay):
-      A. one global agg — min/max per integral/timestamp field, over
-         the ENCODED exprs so the driver receives longs (skipped when
-         none);
       B. one exact-distinct over ALL candidate string fields at once
          via explode(array(struct(field_idx, value))) (skipped when
          none), limit-bounded so the collect can never exceed
-         fields × (GP_DICT_RANK_MAX_KEYS + 2) rows."""
+         fields × (GP_DICT_RANK_MAX_KEYS + 2) + 1 rows;
+      A. one global agg — min/max per integral/timestamp field, over
+         the ENCODED exprs so the driver receives longs (skipped when
+         none).
+    B runs FIRST (r10 ADVICE, low): when a string demotion kills the
+    only viable adjacency the full-table min/max scan is skipped
+    entirely, and B's result is never wasted in the converse case —
+    the returned rmaps feed `_dict_rank_maps` as precomputed domains."""
     from pyspark.sql import types as T
-
-    from kafka_stream_sorter_spark.functions.numeric import epoch_us
 
     integral = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
     timestampish = (T.TimestampType, T.TimestampNTZType)
@@ -352,7 +342,6 @@ def _composite_key(
         return None, rmaps
     str_idx: list[int] = []
     int_idx: list[int] = []  # integral AND timestamp fields: both encode
-    ts_idx: set[int] = set()
     enc: dict[int, object] = {}  # field idx → long-encoding Column
     packable: list[bool] = []  # candidate by KIND (width checked later)
     for i, k in enumerate(keys):
@@ -363,8 +352,10 @@ def _composite_key(
             packable.append(True)
         elif isinstance(dt, timestampish):
             int_idx.append(i)
-            ts_idx.add(i)
-            enc[i] = epoch_us(kcols[i])
+            # caller contract: kcols[i] is ALREADY epoch_us(raw col) for
+            # timestamp fields (with_global_position pre-encodes), so the
+            # sampled bounds are longs and the encode here is identity
+            enc[i] = kcols[i]
             packable.append(True)
         elif isinstance(dt, T.StringType) and (
             # free pre-gate on the already-collected boundary sample
@@ -379,6 +370,56 @@ def _composite_key(
     # for e.g. (float, int) or a high-card-sampled string pair)
     if not any(packable[i] and packable[i + 1] for i in range(len(keys) - 1)):
         return None, rmaps
+    # Job B first (r10 ADVICE, low): the string distinct is the cheaper
+    # scan and its result is reusable either way (pre_rmaps), while job
+    # A's full-table min/max is pure waste if a string demotion below
+    # kills the only viable adjacency.
+    if str_idx:
+        lim = len(str_idx) * (GP_DICT_RANK_MAX_KEYS + 2)
+        rows = (
+            df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).alias("i"), kcols[i].alias("v")
+                            )
+                            for i in str_idx
+                        ]
+                    )
+                ).alias("x")
+            )
+            .select("x.i", "x.v")
+            .distinct()
+            # lim + 1 so a total distinct count of EXACTLY lim is not
+            # falsely flagged as truncation (r10 ADVICE, low)
+            .limit(lim + 1)
+            .collect()
+        )
+        if len(rows) > lim:  # truncated ⇒ some domain overflowed; the
+            # culprit is unattributable, so every string candidate
+            # demotes to unpackable (rare: requires a sampled-low but
+            # actually-wide domain)
+            for i in str_idx:
+                packable[i] = False
+            str_idx = []
+        by_field: dict[int, list] = {i: [] for i in str_idx}
+        for r in rows:
+            if r["v"] is not None and r["i"] in by_field:
+                by_field[r["i"]].append(r["v"])
+        for i in str_idx:
+            if len(by_field[i]) > GP_DICT_RANK_MAX_KEYS:
+                packable[i] = False
+                continue
+            rmaps[i] = {v: j for j, v in enumerate(sorted(by_field[i]))}
+            if any(b[i] not in rmaps[i] for b in bounds):
+                packable[i] = False  # belt: unmappable bound value
+        # re-check adjacency after demotions: if strings gated the only
+        # viable pair, bail before paying job A's full-table scan
+        if not any(
+            packable[i] and packable[i + 1] for i in range(len(keys) - 1)
+        ):
+            return None, rmaps
     lo: dict[int, int] = {}
     span: dict[int, int] = {}
     if int_idx:
@@ -401,44 +442,6 @@ def _composite_key(
             else:
                 lo[i] = int(agg_row[f"lo{i}"])
                 span[i] = int(agg_row[f"hi{i}"]) - lo[i]
-    if str_idx:
-        lim = len(str_idx) * (GP_DICT_RANK_MAX_KEYS + 2)
-        rows = (
-            df.select(
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(i).alias("i"), kcols[i].alias("v")
-                            )
-                            for i in str_idx
-                        ]
-                    )
-                ).alias("x")
-            )
-            .select("x.i", "x.v")
-            .distinct()
-            .limit(lim)
-            .collect()
-        )
-        if len(rows) >= lim:  # truncated ⇒ some domain overflowed; the
-            # culprit is unattributable, so every string candidate
-            # demotes to unpackable (rare: requires a sampled-low but
-            # actually-wide domain)
-            for i in str_idx:
-                packable[i] = False
-            str_idx = []
-        by_field: dict[int, list] = {i: [] for i in str_idx}
-        for r in rows:
-            if r["v"] is not None and r["i"] in by_field:
-                by_field[r["i"]].append(r["v"])
-        for i in str_idx:
-            if len(by_field[i]) > GP_DICT_RANK_MAX_KEYS:
-                packable[i] = False
-                continue
-            rmaps[i] = {v: j for j, v in enumerate(sorted(by_field[i]))}
-            if any(b[i] not in rmaps[i] for b in bounds):
-                packable[i] = False  # belt: unmappable bound value
     # per-field code widths; None = unpackable (by kind, domain, or an
     # individual width that could never share a 63-bit long)
     widths: list[int | None] = []
@@ -483,8 +486,10 @@ def _composite_key(
         return F.coalesce(lookup + F.lit(1), F.lit(0))
 
     def _code_val(i: int, v):
+        # integral/timestamp bounds are already longs (timestamps sampled
+        # pre-encoded as epoch micros — no Python datetime round-trip)
         if i in lo:
-            return (_ts_micros(v) if i in ts_idx else int(v)) - lo[i] + 1
+            return int(v) - lo[i] + 1
         return rmaps[i][v] + 1
 
     groups: list[dict] = []
@@ -661,7 +666,27 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
     of the final window = populated buckets; a unique trailing tie-break
     key (all callers' contract) keeps sample quantiles balanced.
     """
-    kcols = [F.col(k) for k in keys]
+    from pyspark.sql import types as T
+
+    from kafka_stream_sorter_spark.functions.numeric import epoch_us
+
+    # TIMESTAMP key fields are pre-encoded to epoch micros (order-
+    # isomorphic: micros order ≡ timestamp order, nulls stay null) for
+    # EVERYTHING key-shaped below — the boundary sample, the search
+    # exprs, the window sort, and the rank-pack. Collected bounds are
+    # then longs end-to-end: the old path round-tripped datetimes
+    # through the driver's `datetime.fromtimestamp`, which runs in the
+    # PROCESS timezone (session timeZone does not control it) and is
+    # non-monotone across a DST fall-back — non-ascending bound
+    # literals would break the binary search's sortedness invariant
+    # (r10 ADVICE, medium). The output column set is untouched.
+    _tsish = (T.TimestampType, T.TimestampNTZType)
+    kcols = [
+        epoch_us(F.col(k))
+        if isinstance(df.schema[k].dataType, _tsish)
+        else F.col(k)
+        for k in keys
+    ]
     fields = [c.alias(f"f{i}") for i, c in enumerate(kcols)]
 
     def _key_sample(mod: int) -> DataFrame:

@@ -798,3 +798,122 @@ def test_gp_sample_cap_derived_from_bucket_count(monkeypatch):
     assert sort_ops._gp_sample_cap() == 2 * 35 * 16_384  # 1,146,880
     monkeypatch.setattr(sort_ops, "GP_MAX_BUCKETS", 256)
     assert sort_ops._gp_sample_cap() == 300_000  # static floor binds
+
+
+def test_composite_key_distinct_exact_lim_is_not_truncation(spark):
+    """r11 (r10 ADVICE, low): a total distinct (field, value) count of
+    EXACTLY fields × (GP_DICT_RANK_MAX_KEYS + 2) used to be falsely
+    flagged as truncation (`len(rows) >= lim` after `.limit(lim)`),
+    demoting every string field for no reason. With one string field,
+    lim = 66 and the per-field cap is 64 — so a 66-distinct domain must
+    survive the truncation check and then demote on the PER-FIELD cap
+    (66 > 64), while a 64-distinct domain must pack."""
+    n = 400
+    # 64 distinct: inside every gate — must pack with the int field
+    rows64 = [(f"s{i % 64:02d}", i) for i in range(n)]
+    df64 = spark.createDataFrame(rows64, "k string, tb long")
+    kcols = [F.col("k"), F.col("tb")]
+    sample_keys = [(f"s{i:02d}", i) for i in range(8)]
+    bounds = [("s03", 3)]
+    comp, rmaps = sort_ops._composite_key(
+        df64, ("k", "tb"), kcols, sample_keys, bounds
+    )
+    assert comp is not None
+    assert len(rmaps[0]) == 64
+
+    # exactly lim (66) distinct: truncation must NOT fire, and the
+    # per-field cap (66 > 64) is what demotes — rmaps stays empty but
+    # the function was able to ATTRIBUTE the overflow to the field
+    rows66 = [(f"s{i % 66:02d}", i) for i in range(n)]
+    df66 = spark.createDataFrame(rows66, "k string, tb long")
+    comp2, rmaps2 = sort_ops._composite_key(
+        df66, ("k", "tb"), kcols, sample_keys, bounds
+    )
+    assert comp2 is None
+    assert rmaps2 == {}
+
+
+def test_composite_key_string_demotion_skips_minmax_job(spark, monkeypatch):
+    """r11 (r10 ADVICE, low): job B (string distinct) runs BEFORE job A
+    (full-table min/max agg) — when the string demotion kills the only
+    viable adjacency, the full scan must be skipped entirely. Pin it by
+    making .agg() explode: a (wide_string, long) pair whose sample
+    pre-gate passes but whose exact domain overflows must return None
+    WITHOUT touching agg."""
+    from pyspark.sql import DataFrame
+
+    n = 400
+    rows = [(f"s{i % 120:03d}", i) for i in range(n)]  # 120 > 64 distinct
+    df = spark.createDataFrame(rows, "k string, tb long")
+    kcols = [F.col("k"), F.col("tb")]
+    sample_keys = [("s000", 0), ("s001", 1)]  # wrongly suggests tiny domain
+    bounds = [("s001", 1)]
+
+    def _no_agg(self, *a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("job A (min/max agg) ran after string demotion")
+
+    monkeypatch.setattr(DataFrame, "agg", _no_agg)
+    comp, rmaps = sort_ops._composite_key(
+        df, ("k", "tb"), kcols, sample_keys, bounds
+    )
+    assert comp is None
+
+
+def test_with_global_position_timestamp_dst_driver_tz(spark, monkeypatch):
+    """r11 (r10 ADVICE, medium): collected boundary timestamps used to
+    round-trip through datetime.fromtimestamp, which runs in the driver
+    PROCESS timezone — non-monotone across a DST fall-back, so packed
+    bounds could sort non-ascending and break the binary search. The
+    fix samples timestamp keys pre-encoded as epoch micros. Regression:
+    run a ts-keyed fanout with TZ=America/New_York across the 2025-11-02
+    fall-back window and check positions against the micros order. The
+    timestamps are built SPARK-SIDE (timestamp_micros) so the test data
+    itself has no Python datetime conversion anywhere."""
+    import os
+    import time
+
+    if not hasattr(time, "tzset"):  # pragma: no cover - non-POSIX
+        import pytest
+
+        pytest.skip("tzset unavailable")
+    monkeypatch.setattr(sort_ops, "GP_SAMPLE_MOD", 2)
+    monkeypatch.setattr(sort_ops, "GP_COMPOSITE_MIN_ROWS", 0)
+    # 2025-11-02 05:00:00 UTC = 01:00 EDT; the fall-back (06:00 UTC)
+    # lands mid-range so ambiguous local times appear among the bounds
+    base_us = 1_762_059_600_000_000
+    n = 4000
+    df = (
+        spark.range(n)
+        .withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.lit(base_us) + (F.col("id") * 2654435761 % n) * 3_000_000
+            ),
+        )
+        .withColumn("tb", F.col("id"))
+        .select("ts", "tb")
+    )
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time.tzset()
+    try:
+        stats: dict = {}
+        got = (
+            sort_ops.with_global_position(df, "ts", "tb", stats=stats)
+            .select(
+                sort_ops.F.unix_micros("ts").alias("us"), "tb", "global_pos"
+            )
+            .orderBy("global_pos")
+            .collect()
+        )
+    finally:
+        if old_tz is None:
+            del os.environ["TZ"]
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+    assert stats["composite_key"] is True, stats
+    assert [(r["us"], r["tb"]) for r in got] == sorted(
+        (r["us"], r["tb"]) for r in got
+    )
+    assert [r["global_pos"] for r in got] == list(range(1, n + 1))
