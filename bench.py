@@ -98,22 +98,32 @@ def main() -> None:
     # estimator) and the 10 slowest by min-of-2 get a third run; --min3-all
     # gives everything three runs for clean-window records. The single-shot
     # dict stays for r1-r8 continuity.
-    def _rerun(name: str, best: float) -> float:
+    # Every repeat's wall is KEPT as a vector (r10 verdict #3): the two r10
+    # band movers (dedup_ngram_jaccard, ann_lsh_hyperplane) each cost a
+    # manual 8-run probe session to adjudicate as JIT/warmth convergence —
+    # the per-repeat vector already contains that evidence (first/last =
+    # decay_ratio), so band adjudications can cite the full record instead
+    # of separate probe sessions.
+    repeat_walls: dict[str, list[float]] = {k: [v] for k, v in timings.items()}
+
+    def _rerun(name: str) -> None:
         t0 = time.perf_counter()
         try:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        except Exception:  # noqa: BLE001 - keep the number we have
-            return best
-        return min(best, time.perf_counter() - t0)
+        except Exception:  # noqa: BLE001 - keep the numbers we have
+            return
+        repeat_walls[name].append(time.perf_counter() - t0)
 
     queries_min: dict[str, float] = dict(timings)
     for name in sorted(queries_min, key=queries_min.get, reverse=True):
-        queries_min[name] = _rerun(name, queries_min[name])
+        _rerun(name)
         if min3_all:
-            queries_min[name] = _rerun(name, queries_min[name])
+            _rerun(name)
+        queries_min[name] = min(repeat_walls[name])
     for name in sorted(queries_min, key=queries_min.get, reverse=True)[:10]:
         if not min3_all:
-            queries_min[name] = _rerun(name, queries_min[name])
+            _rerun(name)
+            queries_min[name] = min(repeat_walls[name])
     queries_min = {k: round(v, 3) for k, v in queries_min.items()}
 
     # Reference-shaped workload ≙ the reference's whole pipeline at 1/10
@@ -225,6 +235,19 @@ def main() -> None:
     if min3_all:
         out["repeats"]["min3_all"] = True
     out["queries_min"] = dict(sorted(queries_min.items(), key=lambda kv: kv[1]))
+    # full-record-only (stripped from the stdout digest below): the raw
+    # per-repeat vectors and the first/last decay ratio per query. A
+    # decay_ratio well above 1 with a flat tail is the JIT/warmth
+    # signature (SCALING.md r10 adjudication rule: decay curves before
+    # band-breach verdicts on explode-heavy and sub-second queries).
+    out["query_repeat_walls"] = {
+        k: [round(x, 3) for x in v] for k, v in sorted(repeat_walls.items())
+    }
+    out["decay_ratio"] = {
+        k: round(v[0] / v[-1], 2)
+        for k, v in sorted(repeat_walls.items())
+        if len(v) > 1 and v[-1] > 0
+    }
     out["load_avg_at_start"] = load_avg
     out["calib_matmul_sec"] = calib_sec
     if "ref_produce" in timings:
@@ -261,7 +284,11 @@ def main() -> None:
 
     # stdout digest: headline scalars + slowest-query timings, hard-capped
     # at 4000 bytes so the driver's 4 KB tail always json-parses.
-    digest = {k: v for k, v in out.items() if k not in ("queries", "queries_min")}
+    digest = {
+        k: v
+        for k, v in out.items()
+        if k not in ("queries", "queries_min", "query_repeat_walls", "decay_ratio")
+    }
     digest["full_record"] = full_name
     if errors:  # n_errors stays exact; messages may be elided for size
         digest["errors"] = {k: v[:120] for k, v in list(errors.items())[:5]}
