@@ -115,6 +115,48 @@ def keyed_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "keyed_fanout_ts",
+    oracle="""
+    SELECT event_id,
+           row_number() OVER (
+             ORDER BY event_type NULLS FIRST, ts NULLS FIRST,
+                      event_id * 2654435761 NULLS FIRST
+           ) AS pos
+    FROM events
+    """,
+)
+def keyed_fanout_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positioned fanout on the canonical 100 TB log key — (type,
+    event_time, unique_id) — the shape the reference's per-topic sorts
+    imply when a topic is keyed by type and consumed in time order
+    (cmd/sorter/main.go:42-46 dispatches one sort per key; event time is
+    the natural second key of its CSV wire rows, generator.go:22-58).
+
+    ``wide_id`` (event_id × 2654435761, a Knuth multiplicative spread
+    both engines compute identically on BIGINT) forces the full
+    rank-pack over budget: (type ≈3 bits) + (micros span ≈42) fits one
+    long, +48 more does not — so above GP_COMPOSITE_MIN_ROWS this is
+    exactly the GROUPED partial-pack path ((type,ts) packed + wide raw,
+    operators/sort.py:_composite_key adjacent-run grouping), the one
+    r10 machinery no registry entry previously reached. At driver gate
+    scale the min-rows gate keeps the struct-compare path (now also
+    running on epoch_us-encoded ts); the packed path is proven
+    hash-identical on THIS registered shape by
+    scripts/verify_gp_grouped_registered.py with the gate lowered.
+    Output carries positions + ids only (no raw timestamp emission)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    keyed = events.withColumn(
+        "wide_id", F.col("event_id") * F.lit(2654435761)
+    )
+    pos_df = sort_ops.with_global_position(
+        keyed, "event_type", "ts", "wide_id"
+    )
+    return pos_df.select("event_id", F.col("global_pos").alias("pos"))
+
+
+@query(
     "topk",
     oracle="""
     SELECT event_id, user_id, value
