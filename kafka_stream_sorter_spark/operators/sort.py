@@ -27,6 +27,7 @@ Scale notes:
 from __future__ import annotations
 
 import logging
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import Window
@@ -283,6 +284,19 @@ def _composite_key(
         is non-monotone across a DST fall-back: packed bounds could
         sort non-ascending and break the binary search (r10 ADVICE,
         medium). Everything driver-side is integer micros.)
+      * float/double field:    code = ieee_order(v) − min + 1, null → 0,
+        NaN → span + 2 (its own compact TOP code — NaN is masked out of
+        the min/max pre-job, since its canonical-slot magnitude would
+        blow the width past 63 whenever any NaN exists)
+        (functions/numeric.double_order_long — the sign-magnitude fold
+        of the IEEE-754 bits built from deterministic arithmetic, so it
+        is aggregate-safe; -0.0 folds with +0.0 and every NaN payload
+        ties at the top slot, exactly Spark's sort semantics. Candidacy
+        is gated FREE on sample lower-bound widths: any float domain
+        crossing a binade spans ≥52 bits and common score domains span
+        62, so a float only becomes a candidate when some adjacent
+        packable neighbor could share a 63-bit budget even
+        optimistically — r10 verdict item 4.)
       * low-card string field: code = rank(v) + 1,          null → 0
 
     and the codes fold left into one long with per-field bit widths
@@ -335,32 +349,97 @@ def _composite_key(
     the returned rmaps feed `_dict_rank_maps` as precomputed domains."""
     from pyspark.sql import types as T
 
+    from kafka_stream_sorter_spark.functions.numeric import (
+        double_order_long,
+        double_order_long_py,
+    )
+
     integral = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
     timestampish = (T.TimestampType, T.TimestampNTZType)
+    floatish = (T.DoubleType, T.FloatType)
     rmaps: dict[int, dict] = {}
     if len(keys) < 2:
         return None, rmaps
-    str_idx: list[int] = []
-    int_idx: list[int] = []  # integral AND timestamp fields: both encode
-    enc: dict[int, object] = {}  # field idx → long-encoding Column
-    packable: list[bool] = []  # candidate by KIND (width checked later)
+    kinds: list[str] = []
     for i, k in enumerate(keys):
         dt = df.schema[k].dataType
         if isinstance(dt, integral):
+            kinds.append("int")
+        elif isinstance(dt, timestampish):
+            kinds.append("ts")
+        elif isinstance(dt, floatish):
+            kinds.append("flt")
+        elif isinstance(dt, T.StringType) and (
+            # free pre-gate on the already-collected boundary sample
+            len({t[i] for t in sample_keys}) <= GP_DICT_RANK_MAX_KEYS
+        ):
+            kinds.append("str")
+        else:
+            kinds.append("other")
+
+    def _lbw(i: int) -> int:
+        # sample-estimated LOWER-BOUND code width (the true width can
+        # only be wider — the sample's span/domain is a subset)
+        vals = [t[i] for t in sample_keys if t[i] is not None]
+        if not vals:
+            return 1
+        if kinds[i] == "str":
+            return max(1, (len(set(vals)) + 1).bit_length())
+        if kinds[i] == "flt":
+            # NaN is excluded: it gets its own compact code (span+2)
+            # instead of the huge canonical-slot magnitude
+            encs = [
+                double_order_long_py(v) for v in vals if not math.isnan(v)
+            ]
+            if not encs:
+                return 1
+            span = max(encs) - min(encs)
+        else:  # int / ts (ts sampled pre-encoded as epoch micros)
+            span = int(max(vals)) - int(min(vals))
+        return max(1, (span + 1).bit_length())
+
+    str_idx: list[int] = []
+    int_idx: list[int] = []  # every long-encoding field: integral/ts/float
+    flt_idx: set[int] = set()
+    enc: dict[int, object] = {}  # field idx → long-encoding Column
+    packable: list[bool] = []  # candidate by KIND (width checked later)
+    for i, k in enumerate(keys):
+        kind = kinds[i]
+        if kind == "int":
             int_idx.append(i)
             enc[i] = kcols[i].cast("long")
             packable.append(True)
-        elif isinstance(dt, timestampish):
+        elif kind == "ts":
             int_idx.append(i)
             # caller contract: kcols[i] is ALREADY epoch_us(raw col) for
             # timestamp fields (with_global_position pre-encodes), so the
             # sampled bounds are longs and the encode here is identity
             enc[i] = kcols[i]
             packable.append(True)
-        elif isinstance(dt, T.StringType) and (
-            # free pre-gate on the already-collected boundary sample
-            len({t[i] for t in sample_keys}) <= GP_DICT_RANK_MAX_KEYS
-        ):
+        elif kind == "flt":
+            # r11: float fields pack via the IEEE-754 order-isomorphic
+            # long encode — but candidacy is gated FREE on the sample:
+            # any domain that crosses a binade spans ≥52 bits and the
+            # common score domains ([0,1], [0,1000]) span 62, so without
+            # this gate every ≥20M-row call with a float key would pay
+            # the full min/max pre-job only to decline on width. The
+            # field is a candidate only if some adjacent packable-KIND
+            # neighbor fits a shared 63-bit budget even at lower-bound
+            # widths (true widths only grow; job A still decides).
+            w = _lbw(i)
+            ok = any(
+                w + _lbw(j) <= 63
+                for j in (i - 1, i + 1)
+                if 0 <= j < len(keys) and kinds[j] in ("int", "ts", "str", "flt")
+            )
+            if ok:
+                int_idx.append(i)
+                flt_idx.add(i)
+                enc[i] = double_order_long(kcols[i])
+                packable.append(True)
+            else:
+                packable.append(False)
+        elif kind == "str":
             str_idx.append(i)
             packable.append(True)
         else:
@@ -425,14 +504,24 @@ def _composite_key(
     if int_idx:
         # aggregate the ENCODED exprs so the driver receives longs —
         # min/max commute with the monotone encodes, and no Python-side
-        # datetime→micros conversion can disagree with the JVM's here
+        # datetime→micros conversion can disagree with the JVM's here.
+        # Float fields mask NaN out of the agg: NaN takes the compact
+        # top code (span+2) instead of its huge canonical-slot magnitude
+        # (which would blow the width past 63 whenever any NaN exists).
+        def _agg_enc(i: int):
+            if i in flt_idx:
+                return F.when(
+                    F.isnan(kcols[i]), F.lit(None).cast("long")
+                ).otherwise(enc[i])
+            return enc[i]
+
         agg_row = df.agg(
             *[
                 a
                 for i in int_idx
                 for a in (
-                    F.min(enc[i]).alias(f"lo{i}"),
-                    F.max(enc[i]).alias(f"hi{i}"),
+                    F.min(_agg_enc(i)).alias(f"lo{i}"),
+                    F.max(_agg_enc(i)).alias(f"hi{i}"),
                 )
             ]
         ).collect()[0]
@@ -449,7 +538,11 @@ def _composite_key(
         if not packable[i]:
             widths.append(None)
             continue
-        max_code = (span[i] + 1) if i in lo else len(rmaps.get(i, ()))
+        if i in lo:
+            # floats reserve one extra top code for NaN (span+2)
+            max_code = span[i] + (2 if i in flt_idx else 1)
+        else:
+            max_code = len(rmaps.get(i, ()))
         w = max(1, max_code.bit_length())
         widths.append(w if w < 63 else None)
     # greedy left-to-right grouping under the 63-bit budget — optimal
@@ -476,6 +569,14 @@ def _composite_key(
         return None, rmaps
 
     def _code_expr(i: int):
+        if i in flt_idx:
+            # null → 0 < values → 1..span+1 < NaN → span+2: exactly the
+            # asc-nulls-first / NaN-greatest order the window sort uses
+            return (
+                F.when(F.isnan(kcols[i]), F.lit(span[i] + 2).cast("long"))
+                .when(kcols[i].isNull(), F.lit(0).cast("long"))
+                .otherwise(enc[i] - F.lit(lo[i]) + F.lit(1))
+            )
         if i in lo:
             return F.coalesce(enc[i] - F.lit(lo[i]) + F.lit(1), F.lit(0))
         if not rmaps[i]:  # domain is {null}: code is constant 0
@@ -487,7 +588,13 @@ def _composite_key(
 
     def _code_val(i: int, v):
         # integral/timestamp bounds are already longs (timestamps sampled
-        # pre-encoded as epoch micros — no Python datetime round-trip)
+        # pre-encoded as epoch micros — no Python datetime round-trip);
+        # float bounds encode through the bit-twin (py4j doubles are
+        # bit-exact, and only monotonicity is load-bearing anyway)
+        if i in flt_idx:
+            if math.isnan(v):
+                return span[i] + 2
+            return double_order_long_py(v) - lo[i] + 1
         if i in lo:
             return int(v) - lo[i] + 1
         return rmaps[i][v] + 1

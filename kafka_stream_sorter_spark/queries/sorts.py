@@ -157,6 +157,47 @@ def keyed_fanout_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "keyed_fanout_score",
+    oracle="""
+    SELECT event_id,
+           row_number() OVER (
+             ORDER BY event_type NULLS FIRST,
+                      (256.0 + value / 1024.0) NULLS FIRST,
+                      event_id NULLS FIRST
+           ) AS pos
+    FROM events
+    """,
+)
+def keyed_fanout_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positioned fanout keyed by a FLOAT quality score — (type, score,
+    unique_id), the remaining declined-path trigger a training-data
+    pipeline plausibly hits (r10 verdict item 4; the reference sorts
+    only string/numeric CSV keys, external_sort.go:368-425, but a score
+    column is the natural third key of its typed fan-out).
+
+    ``score = 256.0 + value/1024.0`` keeps the domain inside one binade
+    (value ∈ [0, ~560] → score ∈ [256, 256.55)), computed identically in
+    both engines (a power-of-two division and one rounded add), so above
+    GP_COMPOSITE_MIN_ROWS the IEEE-754 rank-pack
+    (functions/numeric.double_order_long) packs (type, score) into one
+    long — ~3+44 bits — with event_id grouped separately: the float
+    GROUPED path. At driver-gate scale the min-rows gate keeps the
+    struct-compare path; the packed path is proven hash-identical on
+    this registered shape by scripts/verify_gp_grouped_registered.py
+    with the gate lowered. Output carries positions + ids only."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    keyed = events.withColumn(
+        "score", F.lit(256.0) + F.col("value") / F.lit(1024.0)
+    )
+    pos_df = sort_ops.with_global_position(
+        keyed, "event_type", "score", "event_id"
+    )
+    return pos_df.select("event_id", F.col("global_pos").alias("pos"))
+
+
+@query(
     "topk",
     oracle="""
     SELECT event_id, user_id, value

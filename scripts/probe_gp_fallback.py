@@ -104,13 +104,36 @@ def main() -> None:
             F.pmod(F.xxhash64("id", F.lit(13)), F.lit(63_000_000_000_000))
             + F.lit(1_700_000_000_000_000)
         ).alias("ts"),
+        # sub-binade float score (the r11 IEEE-754 rank-pack target):
+        # [256, 256.477) → enc span ≈ 2^44, so (type 4b + score 44b)
+        # packs at 48 bits and the unique event_id (28b) overflows 63 →
+        # the float GROUPED shape (2 search fields)
+        (
+            F.lit(256.0)
+            + F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1_000_000)).cast(
+                "double"
+            )
+            / F.lit(2097152.0)
+        ).alias("score"),
     )
 
-    # (keys, want_composite, want_search_fields or None)
+    # (keys, want_composite, want_search_fields or None, gate_override)
     configs = {
-        "packed": (["event_type", "user_id", "event_id"], True, 1),
-        "grouped": (["event_type", "ts", "event_id"], True, 2),
-        "declined": (["event_type", "user_hash", "event_id"], False, 3),
+        "packed": (["event_type", "user_id", "event_id"], True, 1, None),
+        "grouped": (["event_type", "ts", "event_id"], True, 2, None),
+        "declined": (["event_type", "user_hash", "event_id"], False, 3, None),
+        # r11 float pair: same key shape packed vs gate-suppressed (the
+        # exact path a pre-r11 engine took on a float key) — in-window
+        "float_packed": (["event_type", "score", "event_id"], True, 2, None),
+        "float_declined": (
+            ["event_type", "score", "event_id"],
+            False,
+            3,
+            # exact pre-r11 behavior for a float key: _composite_key
+            # found no adjacent packable pair and returned (None, {})
+            # WITHOUT paying a job, then the dict premap engaged on f0
+            "pre_r11",
+        ),
     }
     if ONLY:  # comma list: in-window pairs (cross-invocation ratios are
         # not comparable on this VM — CLAUDE.md timing rules)
@@ -118,13 +141,23 @@ def main() -> None:
     scratch = "/tmp/probe_gp_fallback_scratch"
     report: dict = {"probe": "gp_fallback_3field_r10", "n_rows": N_ROWS, "configs": {}}
 
-    for label, (keys, want_composite, want_fields) in configs.items():
+    for label, (keys, want_composite, want_fields, gate) in configs.items():
+        default_gate = sort_ops.GP_COMPOSITE_MIN_ROWS
+        orig_ck = sort_ops._composite_key
+        if gate == "pre_r11":
+            sort_ops._composite_key = lambda df, ks, kc, sk, b: (None, {})
+        elif gate is not None:
+            sort_ops.GP_COMPOSITE_MIN_ROWS = gate
         stats: dict = {}
-        t0 = time.perf_counter()
-        pos_df = sort_ops.with_global_position(events, *keys, stats=stats)
-        t_mid = time.perf_counter()
-        pos_df.write.mode("overwrite").parquet(f"{scratch}/pos")
-        t1 = time.perf_counter()
+        try:
+            t0 = time.perf_counter()
+            pos_df = sort_ops.with_global_position(events, *keys, stats=stats)
+            t_mid = time.perf_counter()
+            pos_df.write.mode("overwrite").parquet(f"{scratch}/pos")
+            t1 = time.perf_counter()
+        finally:
+            sort_ops.GP_COMPOSITE_MIN_ROWS = default_gate
+            sort_ops._composite_key = orig_ck
         rec: dict = {
             "keys": keys,
             "position_build_sec": round(t_mid - t0, 1),
