@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import gc
 import logging
-from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -391,14 +390,27 @@ def connected_dedup_groups(
     n_edges = sym.count()
     parallelism = sym.sparkSession.sparkContext.defaultParallelism
     n_parts = int(max(1, min(parallelism, n_edges // 1_000_000 + 1)))
-    with _loop_conf(nodes.sparkSession, n_parts):
-        return _cc_loop(nodes, sym, n_parts, n_edges, max_iter, stats)
+    loop_spark = _loop_session(nodes.sparkSession, n_parts)
+    labels = _cc_loop(
+        _rebind(sym, loop_spark), n_parts, n_edges, max_iter, stats
+    )
+    # Re-home the converged label map onto the CALLER's session: the final
+    # corpus-sized nodes⋈labels join must execute under the caller's conf,
+    # where AQE's broadcast-vs-shuffle choice is exactly what we want (see
+    # the no-broadcast-hint note). No broadcast hint: the touched-label map
+    # is tiny on clean corpora but can be a large fraction of a dirty one —
+    # AQE picks broadcast vs shuffle from the actual size at runtime.
+    labels = _rebind(labels, nodes.sparkSession)
+    return nodes.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("component_id")
+    )
 
 
-@contextmanager
-def _loop_conf(spark, n_parts: int):
-    """Pin the CC loop's execution conf (restored on exit): AQE off,
-    shuffle width = the explicitly sized ``n_parts``.
+def _loop_session(spark, n_parts: int):
+    """Build the CC loop's execution session: a ``spark.newSession()``
+    derivative (shared SparkContext, block manager, and cache; isolated
+    SQL conf) pinned to AQE off, shuffle width = the explicitly sized
+    ``n_parts``.
 
     Inside the loop AQE only adds jobs: every exchange becomes its own
     query-stage job (~10 jobs/round measured at sf0.1, scripts/
@@ -407,41 +419,54 @@ def _loop_conf(spark, n_parts: int):
     join inputs are checkpoint-backed, and skew means a hot component,
     which salting can't split anyway (min-label is a holistic
     per-component computation). With AQE off the intra-round shuffles
-    would fall back to the session's spark.sql.shuffle.partitions (32+
-    mostly-empty tasks per exchange at fixture scale), so the bracket
-    pins that to n_parts too — the same width AQE used to coalesce to,
-    now without the extra stage jobs. The final corpus-sized nodes⋈labels
-    join stays OUTSIDE the bracket: it is lazy and executes under the
-    caller's session conf, where AQE's broadcast-vs-shuffle choice is
-    exactly what we want (see the no-broadcast-hint note).
+    would fall back to spark.sql.shuffle.partitions (32+ mostly-empty
+    tasks per exchange at fixture scale), so the loop session pins that
+    to n_parts too — the same width AQE used to coalesce to, now without
+    the extra stage jobs.
 
-    SESSION-SCOPE CAVEAT (r9 ADVICE item 2): ``spark.conf`` is
-    session-global, so any OTHER query executed concurrently on the
-    same SparkSession while the loop runs would silently run under
-    AQE-off / width-pinned conf. That matches this repo's exclusive-run
-    convention (bench.py and the driver run queries one at a time, and
-    tests/test_plan_shapes_registry pins conf restoration on both the
-    success and failure paths), but a multi-tenant caller embedding
-    this operator as a library should hand it a dedicated
-    ``spark.newSession()``-derived session (shared SparkContext and
-    cache, isolated SQL conf) — the loop only touches DataFrames built
-    from its own inputs, so session choice is the caller's."""
-    keys = {
-        "spark.sql.adaptive.enabled": "false",
-        "spark.sql.shuffle.partitions": str(n_parts),
-    }
-    old = {k: spark.conf.get(k) for k in keys}
-    for k, v in keys.items():
-        spark.conf.set(k, v)
+    A derived session (r10 verdict stretch #6, closing the r9 ADVICE
+    session-scope caveat) means the caller's conf is never mutated, even
+    transiently: a multi-tenant caller running other queries on its own
+    session concurrently with this loop is unaffected. The derived
+    session inherits context-level conf (everything set at builder time);
+    caller session-LOCAL conf is copied explicitly below so the loop also
+    matches a caller that reconfigured its session after creation —
+    semantics-relevant knobs like ANSI mode carry over."""
+    loop = spark.newSession()
+    for row in spark.sql("SET").collect():  # explicitly-set confs only
+        if row.value is not None and loop.conf.isModifiable(row.key):
+            loop.conf.set(row.key, row.value)
+    loop.conf.set("spark.sql.adaptive.enabled", "false")
+    loop.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    return loop
+
+
+_REBIND_SEQ = 0
+
+
+def _rebind(df: DataFrame, spark) -> DataFrame:
+    """Re-home ``df`` onto ``spark`` — another session of the SAME
+    SparkContext — via a global temp view, the public cross-session
+    plan-sharing mechanism. ``spark.table`` resolves the view eagerly at
+    analysis time (the returned DataFrame embeds the analyzed plan, not a
+    catalog reference), so the view is dropped immediately; lazy
+    localCheckpoint blocks referenced by the plan live in the shared
+    block manager and survive the round-trip. Execution conf binds at
+    ACTION time from the DataFrame's session — this is what moves the
+    loop's jobs onto the pinned session and the final join back under the
+    caller's."""
+    global _REBIND_SEQ
+    _REBIND_SEQ += 1
+    name = f"_kss_cc_rebind_{_REBIND_SEQ}"
+    gt_db = spark.conf.get("spark.sql.globalTempDatabase", "global_temp")
+    df.createOrReplaceGlobalTempView(name)
     try:
-        yield
+        return spark.table(f"{gt_db}.{name}")
     finally:
-        for k, v in old.items():
-            spark.conf.set(k, v)
+        df.sparkSession.catalog.dropGlobalTempView(name)
 
 
 def _cc_loop(
-    nodes: DataFrame,
     sym: DataFrame,
     n_parts: int,
     n_edges: int,
@@ -540,9 +565,4 @@ def _cc_loop(
             f"connected_dedup_groups: no fixpoint after max_iter={max_iter} "
             f"rounds ({changed} labels still changing); raise max_iter"
         )
-    # No broadcast hint: the touched-label map is tiny on clean corpora but
-    # can be a large fraction of a dirty one — AQE picks broadcast vs
-    # shuffle from the actual size at runtime.
-    return nodes.join(labels, "doc_id", "left").select(
-        "doc_id", F.coalesce("label", "doc_id").alias("component_id")
-    )
+    return labels

@@ -376,24 +376,59 @@ def test_tokenizer_whitespace_class_matches_duckdb_on_vertical_tab(spark):
     assert spark_toks == duck_toks == ["a", "b", "c", "d"]
 
 
-def test_connected_components_restores_session_conf(spark):
-    """The CC loop pins (AQE off, shuffle width = n_parts) for its
-    per-round jobs via _loop_conf; the caller's session conf must come
-    back EXACTLY — including when the loop raises (max_iter exhaustion
-    fails loudly by design)."""
+def test_connected_components_session_isolated(spark):
+    """The CC loop runs on a ``newSession()``-derived session pinned to
+    (AQE off, shuffle width = n_parts); the caller's conf is NEVER
+    mutated — not even transiently (r10 verdict stretch #6, closing the
+    r9 multi-tenant caveat) — including when the loop raises (max_iter
+    exhaustion fails loudly by design). The loop's own session must
+    really carry the pins, the loop frames must really be bound to it,
+    and no global temp view may leak."""
     import pytest
 
+    from kafka_stream_sorter_spark.operators import dedup as dedup_mod
     from kafka_stream_sorter_spark.operators.dedup import connected_dedup_groups
 
     keys = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
     before = {k: spark.conf.get(k) for k in keys}
 
+    seen: dict = {}
+    orig_loop = dedup_mod._cc_loop
+
+    def spying_loop(sym, n_parts, n_edges, max_iter, stats):
+        loop_spark = sym.sparkSession
+        seen["is_caller"] = loop_spark is spark
+        seen["aqe"] = loop_spark.conf.get("spark.sql.adaptive.enabled")
+        seen["width"] = loop_spark.conf.get("spark.sql.shuffle.partitions")
+        seen["n_parts"] = n_parts
+        # mid-loop: the CALLER's conf must be untouched right now
+        seen["caller_mid"] = {k: spark.conf.get(k) for k in keys}
+        return orig_loop(sym, n_parts, n_edges, max_iter, stats)
+
     nodes = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(5)], ["doc_a", "doc_b"]
     )
-    connected_dedup_groups(nodes, edges).collect()
+    dedup_mod._cc_loop = spying_loop
+    try:
+        out = connected_dedup_groups(nodes, edges)
+        rows = {r.doc_id: r.component_id for r in out.collect()}
+    finally:
+        dedup_mod._cc_loop = orig_loop
+    assert rows == {i: 0 for i in range(6)}
+    assert seen["is_caller"] is False
+    assert seen["aqe"] == "false"
+    assert seen["width"] == str(seen["n_parts"])
+    assert seen["caller_mid"] == before
     assert {k: spark.conf.get(k) for k in keys} == before
+    # the rebind views must not leak into the shared global-temp catalog
+    gt_db = spark.conf.get("spark.sql.globalTempDatabase", "global_temp")
+    leaked = [
+        t.name
+        for t in spark.catalog.listTables(gt_db)
+        if t.name.startswith("_kss_cc_rebind_")
+    ]
+    assert leaked == []
 
     # failure path: a 6-node chain cannot converge in 1 round
     with pytest.raises(RuntimeError, match="no fixpoint"):
