@@ -16,7 +16,9 @@ Scale design notes (the 100 TB story):
 from __future__ import annotations
 
 import gc
+import itertools
 import logging
+import uuid
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -441,7 +443,7 @@ def _loop_session(spark, n_parts: int):
     return loop
 
 
-_REBIND_SEQ = 0
+_REBIND_SEQ = itertools.count(1)
 
 
 def _rebind(df: DataFrame, spark) -> DataFrame:
@@ -454,10 +456,15 @@ def _rebind(df: DataFrame, spark) -> DataFrame:
     block manager and survive the round-trip. Execution conf binds at
     ACTION time from the DataFrame's session — this is what moves the
     loop's jobs onto the pinned session and the final join back under the
-    caller's."""
-    global _REBIND_SEQ
-    _REBIND_SEQ += 1
-    name = f"_kss_cc_rebind_{_REBIND_SEQ}"
+    caller's.
+
+    Names must be unique across CONCURRENT callers — global temp views
+    share one per-SparkContext namespace, the very thing the derived
+    session exists to make safe — so the counter is an atomic
+    ``itertools.count`` (its ``next`` is a single C call, safe under
+    the GIL) plus a random suffix as a belt for embedders that share
+    the module across interpreters."""
+    name = f"_kss_cc_rebind_{next(_REBIND_SEQ)}_{uuid.uuid4().hex[:8]}"
     gt_db = spark.conf.get("spark.sql.globalTempDatabase", "global_temp")
     df.createOrReplaceGlobalTempView(name)
     try:

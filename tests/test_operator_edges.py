@@ -436,6 +436,48 @@ def test_connected_components_session_isolated(spark):
     assert {k: spark.conf.get(k) for k in keys} == before
 
 
+def test_connected_components_concurrent_multitenant(spark):
+    """Two CC loops running CONCURRENTLY from two independent caller
+    sessions — the exact scenario the old conf-mutation bracket forbade
+    (any co-running query silently executed under AQE-off/width-pinned
+    conf). Both must converge correctly: no shared-conf interference and
+    no global-temp-view name collision in the shared catalog. The two
+    graphs differ in size and id range so cross-talk cannot accidentally
+    produce the right answer."""
+    import threading
+
+    from kafka_stream_sorter_spark.operators.dedup import connected_dedup_groups
+
+    def run(sess, n, shift, out, key):
+        try:
+            nodes = sess.createDataFrame(
+                [(shift + i,) for i in range(n)], ["doc_id"]
+            )
+            edges = sess.createDataFrame(
+                [(shift + i, shift + i + 1) for i in range(n - 1)],
+                ["doc_a", "doc_b"],
+            )
+            out[key] = {
+                r.doc_id: r.component_id
+                for r in connected_dedup_groups(nodes, edges).collect()
+            }
+        except BaseException as e:  # surface thread failures in the assert
+            out[key] = e
+
+    s1, s2 = spark.newSession(), spark.newSession()
+    out: dict = {}
+    threads = [
+        threading.Thread(target=run, args=(s1, 8, 100, out, "a")),
+        threading.Thread(target=run, args=(s2, 12, 500, out, "b")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert out["a"] == {100 + i: 100 for i in range(8)}, out["a"]
+    assert out["b"] == {500 + i: 500 for i in range(12)}, out["b"]
+
+
 def test_connected_components_job_count_bounded(spark):
     """Machine-independent pin of the r9 jobs-per-round fix (lazy
     localCheckpoint folds the checkpoint job into the convergence count;
