@@ -28,8 +28,8 @@ Arms (same synthetic events frame as probe_gp_fallback.py):
                  4%, so this arm validates the method
   ts_declined    same keys, suppressed
 
-Usage: python scripts/probe_float_pack_ab.py [n_rows] [repeats]
-Default 100M × 3. Run EXCLUSIVELY.
+Usage: python scripts/probe_float_pack_ab.py [n_rows] [repeats] [--arms=a,b]
+Default 100M × 3, all four arms. Run EXCLUSIVELY.
 """
 
 from __future__ import annotations
@@ -45,6 +45,10 @@ sys.path.insert(0, "/root/repo")
 ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
 N_ROWS = int(ARGS[0]) if len(ARGS) > 0 else 100_000_000
 REPEATS = int(ARGS[1]) if len(ARGS) > 1 else 3
+ONLY_ARMS = next(
+    (a.split("=", 1)[1].split(",") for a in sys.argv[1:] if a.startswith("--arms=")),
+    None,
+)
 
 
 def calib() -> float:
@@ -93,6 +97,8 @@ def main() -> None:
         "ts_packed": (("event_type", "ts", "event_id"), True, 2),
         "ts_declined": (("event_type", "ts", "event_id"), False, 3),
     }
+    if ONLY_ARMS:
+        arms = {a: arms[a] for a in ONLY_ARMS}
     walls: dict[str, list] = {a: [] for a in arms}
     builds: dict[str, list] = {a: [] for a in arms}
     execs: dict[str, list] = {a: [] for a in arms}
@@ -131,21 +137,20 @@ def main() -> None:
         "execs": execs,
         "medians": {a: med(walls[a]) for a in arms},
         "exec_medians": {a: med(execs[a]) for a in arms},
-        "ratio_float_packed_over_declined": round(
-            med(walls["float_packed"]) / med(walls["float_declined"]), 3
-        ),
-        "ratio_ts_packed_over_declined": round(
-            med(walls["ts_packed"]) / med(walls["ts_declined"]), 3
-        ),
-        "exec_ratio_float": round(
-            med(execs["float_packed"]) / med(execs["float_declined"]), 3
-        ),
-        "exec_ratio_ts": round(
-            med(execs["ts_packed"]) / med(execs["ts_declined"]), 3
-        ),
         "calib_matmul_sec": calibs,
         "load_avg": round(os.getloadavg()[0], 2),
     }
+    for pair, tag in (
+        (("float_packed", "float_declined"), "float"),
+        (("ts_packed", "ts_declined"), "ts"),
+    ):
+        if pair[0] in arms and pair[1] in arms:
+            report[f"ratio_{tag}_packed_over_declined"] = round(
+                med(walls[pair[0]]) / med(walls[pair[1]]), 3
+            )
+            report[f"exec_ratio_{tag}"] = round(
+                med(execs[pair[0]]) / med(execs[pair[1]]), 3
+            )
     print(json.dumps(report))
 
 
