@@ -433,11 +433,25 @@ def _loop_session(spark, n_parts: int):
     session inherits context-level conf (everything set at builder time);
     caller session-LOCAL conf is copied explicitly below so the loop also
     matches a caller that reconfigured its session after creation —
-    semantics-relevant knobs like ANSI mode carry over."""
+    semantics-relevant knobs like ANSI mode carry over.
+
+    The ``SET`` command is used only to ENUMERATE the explicitly-set
+    keys; each value is re-read through ``spark.conf.get``, which does
+    not pass through ``spark.redaction.regex`` — the SET output redacts
+    values for matching keys (secret|password|token|access.key), and
+    copying the literal ``*********(redacted)`` sentinel into the loop
+    session would corrupt that conf (r11 ADVICE item 1).
+
+    One loop session is allocated per call and released to Python GC
+    with the returned DataFrame's plan; sessions share the caller's
+    SparkContext so the JVM-side cost is one SessionState. A long-lived
+    embedder hammering this in a tight loop amortizes nothing across
+    calls by design — n_parts is sized from each call's edge count, so
+    a cached session would pin a stale width."""
     loop = spark.newSession()
     for row in spark.sql("SET").collect():  # explicitly-set confs only
         if row.value is not None and loop.conf.isModifiable(row.key):
-            loop.conf.set(row.key, row.value)
+            loop.conf.set(row.key, spark.conf.get(row.key))
     loop.conf.set("spark.sql.adaptive.enabled", "false")
     loop.conf.set("spark.sql.shuffle.partitions", str(n_parts))
     return loop
@@ -463,7 +477,15 @@ def _rebind(df: DataFrame, spark) -> DataFrame:
     session exists to make safe — so the counter is an atomic
     ``itertools.count`` (its ``next`` is a single C call, safe under
     the GIL) plus a random suffix as a belt for embedders that share
-    the module across interpreters."""
+    the module across interpreters.
+
+    Classic-PySpark-only: the drop-immediately pattern relies on
+    ``spark.table`` resolving the view EAGERLY at analysis time. Under
+    Spark Connect the plan stays unresolved until action time and the
+    already-dropped view would fail to resolve — but newSession()/
+    global-temp plan sharing is itself a classic-session mechanism, so
+    the whole derived-session loop is classic-only, not just this
+    helper (r11 ADVICE item 2)."""
     name = f"_kss_cc_rebind_{next(_REBIND_SEQ)}_{uuid.uuid4().hex[:8]}"
     gt_db = spark.conf.get("spark.sql.globalTempDatabase", "global_temp")
     df.createOrReplaceGlobalTempView(name)

@@ -126,9 +126,22 @@ def main() -> int:
             else:
                 print(f"  {name:28s} exact ×{len(hashes)} + oracle  [{time.time()-t0:.1f}s]")
         con.close()
+        # Chain the gp-grouped verifier (r11 verdict item 5): the two
+        # registered fanout queries' ≥20M packed plans are invisible to
+        # the oracle gate (the gate is deliberate), so the registry-wide
+        # exact-hash closing gate must also prove packed ≡ struct ≡
+        # oracle — a sort.py change can't silently skip it. Runs for the
+        # full sweep or when either fanout query is in the filter.
+        gp_names = {"keyed_fanout_ts", "keyed_fanout_score"}
+        if not failures and (not ONLY or ONLY & gp_names):
+            import verify_gp_grouped_registered as gp
+
+            print("\n--- gp-grouped packed-path verifier (chained) ---")
+            if gp.main(SF) != 0:
+                failures.append("gp_grouped_packed_paths")
         ok = "ALL MATCH (exact-hash" + (
             f", subset {len(ONLY)}/{len(qs)})" if ONLY else ")"
-        )
+        ) + (" + gp-grouped" if (not ONLY or ONLY & gp_names) else "")
         print(f"\n{'FAIL: ' + ', '.join(failures) if failures else ok}")
         return 1 if failures else 0
     for name in sorted(n for n in qs if not ONLY or n in ONLY):

@@ -25,6 +25,14 @@ a proof that silently fell back would be no proof.
 
 Usage:
     python /root/repo/scripts/verify_gp_grouped_registered.py [sf_dir]
+
+Also invoked IN-PROCESS by ``verify_driver_contract.py --exact`` (r11
+verdict item 5): the registry-wide closing gate chains this check
+automatically so a sort.py change can't silently skip the ≥20M packed
+plans of the two registered fanout queries. ``main(sf=...)`` reuses the
+caller's vanilla session via getOrCreate and restores nothing it didn't
+set (shuffle confs are re-pinned per config exactly like the exact-hash
+sweep itself).
 """
 
 from __future__ import annotations
@@ -37,7 +45,9 @@ import time
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tests")
 
-SF = os.path.abspath(sys.argv[1]) if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+# argv is parsed only under __main__ — an importer's argv (e.g. the
+# contract gate's `--exact`) must not leak into the default sf
+SF = "/root/testdata/sf0.1"
 
 CONFIGS = (("8", "true"), ("3", "false"), ("32", "true"), ("200", "true"))
 
@@ -62,7 +72,7 @@ def _keyed_frames(spark, sf):
     }
 
 
-def main() -> int:
+def main(sf: str | None = None) -> int:
     from pyspark.sql import SparkSession
 
     from oracle_utils import duck_connect, value_hash
@@ -70,7 +80,10 @@ def main() -> int:
     from kafka_stream_sorter_spark.operators import sort as sort_ops
     from kafka_stream_sorter_spark.sources.parquet import load_table
 
-    # vanilla session, like the driver's (verify_driver_contract.py)
+    sf = sf or SF
+    # vanilla session, like the driver's (verify_driver_contract.py);
+    # getOrCreate deliberately reuses the contract gate's session when
+    # chained from it in-process
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("verify-gp-grouped")
@@ -82,11 +95,11 @@ def main() -> int:
     qs, oracles = mod.queries(), mod.oracle_sql()
 
     # warm the session before anything timed/asserted (CLAUDE.md rule)
-    load_table(spark, SF, "events").limit(1000).write.format("noop").mode(
+    load_table(spark, sf, "events").limit(1000).write.format("noop").mode(
         "overwrite"
     ).save()
 
-    con = duck_connect(SF)
+    con = duck_connect(sf)
     default_gate = sort_ops.GP_COMPOSITE_MIN_ROWS
     failures: list[str] = []
     for name in ("keyed_fanout_ts", "keyed_fanout_score"):
@@ -102,7 +115,7 @@ def main() -> int:
                         "spark.sql.adaptive.coalescePartitions.enabled", coalesce
                     )
                     t0 = time.time()
-                    hashes.append(value_hash(q(spark, SF).toPandas()))
+                    hashes.append(value_hash(q(spark, sf).toPandas()))
                     print(
                         f"  {label:9s} parts={parts:>3s} coalesce={coalesce:5s} "
                         f"hash={hashes[-1][:12]}  [{time.time()-t0:.1f}s]"
@@ -111,7 +124,7 @@ def main() -> int:
             # exact key shape
             sort_ops.GP_COMPOSITE_MIN_ROWS = 0
             stats: dict = {}
-            keyed, keys = _keyed_frames(spark, SF)[name]
+            keyed, keys = _keyed_frames(spark, sf)[name]
             sort_ops.with_global_position(
                 keyed, *keys, stats=stats
             ).write.format("noop").mode("overwrite").save()
@@ -132,9 +145,16 @@ def main() -> int:
             )
         if stats.get("composite_key") is not True:
             failures.append(f"{name}: lowered gate did not engage the composite")
-        if stats.get("search_fields") != 2:
+        # The grouping is SCALE-DEPENDENT by design: at sf0.1 both shapes
+        # group as 2 search fields (packed pair + singleton), while at
+        # sf0.01 the score shape's event_id range shrinks enough that all
+        # three fields fit one 63-bit composite (search_fields=1 — a
+        # STRONGER pack, not a fallback). A silent decline would report
+        # composite_key=False with the raw 3-field search, so requiring
+        # fewer search fields than raw key fields still catches it.
+        if not 1 <= stats.get("search_fields", 99) < 3:
             failures.append(
-                f"{name}: expected the GROUPED 2-search-field shape, got "
+                f"{name}: expected a packed 1- or 2-search-field shape, got "
                 f"{stats.get('search_fields')}"
             )
     con.close()
@@ -143,10 +163,12 @@ def main() -> int:
         return 1
     print(
         f"\nALL MATCH: packed paths ≡ struct-compare ≡ oracle on both "
-        f"registered fanout shapes at {SF} (×8 runs each)"
+        f"registered fanout shapes at {sf} (×8 runs each)"
     )
     return 0
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(
+        main(os.path.abspath(sys.argv[1]) if len(sys.argv) > 1 else None)
+    )

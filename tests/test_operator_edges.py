@@ -436,6 +436,36 @@ def test_connected_components_session_isolated(spark):
     assert {k: spark.conf.get(k) for k in keys} == before
 
 
+def test_cc_loop_session_conf_copy_unredacted(spark):
+    """``_loop_session`` enumerates explicitly-set confs via the SET
+    command but re-reads each VALUE through ``conf.get``: SET redacts
+    values whose key matches ``spark.redaction.regex`` (secret|password|
+    token|access.key), and copying the literal sentinel would corrupt
+    the loop session's conf (r11 ADVICE item 1). No registered
+    modifiable SQL conf matches the default regex today, so the hazard
+    is pinned two ways: (a) the SET-vs-conf.get discrepancy is real on
+    this Spark build — if it ever stops being real the rationale is
+    stale; (b) every conf the loop session carries equals the caller's
+    TRUE value, never the redaction sentinel."""
+    from kafka_stream_sorter_spark.operators.dedup import _loop_session
+
+    sentinel = "*********(redacted)"
+    sess = spark.newSession()
+    sess.conf.set("spark.kss.test.password", "hunter2")
+    ansi = sess.conf.get("spark.sql.ansi.enabled")
+    sess.conf.set("spark.sql.ansi.enabled", ansi)  # modifiable → copied
+    set_vals = {r.key: r.value for r in sess.sql("SET").collect()}
+    assert set_vals["spark.kss.test.password"] == sentinel
+    assert sess.conf.get("spark.kss.test.password") == "hunter2"
+
+    loop = _loop_session(sess, 4)
+    assert loop.conf.get("spark.sql.shuffle.partitions") == "4"
+    assert loop.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert loop.conf.get("spark.sql.ansi.enabled") == ansi
+    for row in loop.sql("SET").collect():
+        assert loop.conf.get(row.key) != sentinel, row.key
+
+
 def test_connected_components_concurrent_multitenant(spark):
     """Two CC loops running CONCURRENTLY from two independent caller
     sessions — the exact scenario the old conf-mutation bracket forbade
