@@ -113,6 +113,52 @@ def double_order_long(col: Column | str) -> Column:
     return F.when(d.isNull(), F.lit(None).cast("long")).otherwise(out)
 
 
+def string_prefix_order_long(col: Column | str, skip: int, nbytes: int) -> Column:
+    """BIGINT encode of a UTF-8 byte WINDOW of a string column: bytes
+    ``[skip, skip+nbytes)`` read big-endian, right-padded with 0x00
+    (null stays null). Built for the rank-pack's wide-string fields
+    (operators/sort._composite_key, r11 verdict item 4).
+
+    Guarantees, in increasing strength:
+
+      * MONOTONE (non-strict) whenever every value in the domain shares
+        a common prefix of ≥ ``skip`` bytes — the window compare is then
+        a prefix of Spark's UTF8 byte-wise string compare, and right-
+        padding cannot invert it (a proper-prefix value sorts lowest and
+        encodes lowest);
+      * ORDER-ISOMORPHIC (strict) when additionally the window is
+        INJECTIVE over the distinct values. Injectivity is exactly
+        checkable with one aggregate — ``countDistinct(s) ==
+        countDistinct(encode(s))`` — which is the caller's obligation;
+        the shared-prefix premise comes free from a min/max agg (every
+        value between min and max shares their common byte prefix).
+
+    ``nbytes ≤ 7`` so the code fits a non-negative signed long with
+    bits to spare for pack neighbors. All deterministic JVM expressions
+    (encode → substring → hex → rpad → conv), so the encode is safe
+    inside aggregates and under Catalyst reordering, like
+    :func:`double_order_long`. Bit-twin: :func:`string_prefix_order_long_py`,
+    pinned on an adversarial corpus by tests/test_string_prefix_encode.py."""
+    if not 1 <= nbytes <= 7:
+        raise ValueError(f"nbytes must be in [1, 7], got {nbytes}")
+    c = F.col(col) if isinstance(col, str) else col
+    win = F.substring(F.encode(c, "UTF-8"), skip + 1, nbytes)
+    # rpad-ing the HEX with '0' right-pads the BYTES with 0x00 — the
+    # left-shift that keeps shorter windows comparable to longer ones
+    hexs = F.rpad(F.hex(win), 2 * nbytes, "0")
+    return F.conv(hexs, 16, 10).cast("long")
+
+
+def string_prefix_order_long_py(s, skip: int, nbytes: int) -> int | None:
+    """Driver-side bit-twin of :func:`string_prefix_order_long` for
+    collected boundary strings (py4j transfers str values losslessly;
+    both sides window the UTF-8 bytes)."""
+    if s is None:
+        return None
+    b = str(s).encode("utf-8")[skip : skip + nbytes]
+    return int.from_bytes(b + b"\x00" * (nbytes - len(b)), "big")
+
+
 def double_order_long_py(v) -> int | None:
     """Driver-side bit-twin of :func:`double_order_long` for collected
     boundary floats (py4j transfers IEEE-754 doubles bit-exactly, so

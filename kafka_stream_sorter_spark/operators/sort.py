@@ -262,7 +262,12 @@ def _gp_sample_cap() -> int:
 
 
 def _composite_key(
-    df: DataFrame, keys: tuple, kcols: list, sample_keys: list, bounds: list
+    df: DataFrame,
+    keys: tuple,
+    kcols: list,
+    sample_keys: list,
+    bounds: list,
+    info: dict | None = None,
 ):
     """(composite_expr_and_bounds_or_None, string_rank_maps) for N-field
     key shapes that rank-pack into ONE long — the r10 generalization of
@@ -298,6 +303,19 @@ def _composite_key(
         packable neighbor could share a 63-bit budget even
         optimistically — r10 verdict item 4.)
       * low-card string field: code = rank(v) + 1,          null → 0
+      * high-card string field (r12): code = prefix_window(v) − min + 1,
+        null → 0 — the UTF-8 byte window [skip, skip+k), skip = the
+        common byte prefix of the field's (min, max) (shared by every
+        value in between — lexicographic order), k ≤ 7 chosen as the
+        widest window whose exact width can still share a 63-bit budget
+        with an adjacent neighbor. Order-isomorphism needs the window
+        INJECTIVE over the distinct values (window ties between distinct
+        strings would mis-sort the per-bucket window and corrupt
+        row-vs-bound search ties — bound prefix-disjointness alone is
+        NOT sufficient), gated twice: a free sample-collision pre-check,
+        then one exact countDistinct(raw)==countDistinct(encode) agg,
+        deferred until the grouping proves the field joins a ≥2 group
+        (functions/numeric.string_prefix_order_long + bit-twin).
 
     and the codes fold left into one long with per-field bit widths
     ``w_i = bit_length(max_code_i)`` — strictly order-isomorphic to the
@@ -352,6 +370,8 @@ def _composite_key(
     from kafka_stream_sorter_spark.functions.numeric import (
         double_order_long,
         double_order_long_py,
+        string_prefix_order_long,
+        string_prefix_order_long_py,
     )
 
     integral = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
@@ -369,11 +389,18 @@ def _composite_key(
             kinds.append("ts")
         elif isinstance(dt, floatish):
             kinds.append("flt")
-        elif isinstance(dt, T.StringType) and (
-            # free pre-gate on the already-collected boundary sample
-            len({t[i] for t in sample_keys}) <= GP_DICT_RANK_MAX_KEYS
-        ):
-            kinds.append("str")
+        elif isinstance(dt, T.StringType):
+            if (
+                # free pre-gate on the already-collected boundary sample
+                len({t[i] for t in sample_keys}) <= GP_DICT_RANK_MAX_KEYS
+            ):
+                kinds.append("str")
+            else:
+                # r12: HIGH-cardinality strings (doc ids, names, URLs)
+                # become prefix-pack candidates — see the wstr post-job-A
+                # block for the full gate chain (width, sample-collision
+                # pre-check, exact injectivity job)
+                kinds.append("wstr")
         else:
             kinds.append("other")
 
@@ -400,6 +427,7 @@ def _composite_key(
 
     str_idx: list[int] = []
     int_idx: list[int] = []  # every long-encoding field: integral/ts/float
+    wstr_idx: list[int] = []  # high-card strings: prefix-pack candidates
     flt_idx: set[int] = set()
     enc: dict[int, object] = {}  # field idx → long-encoding Column
     packable: list[bool] = []  # candidate by KIND (width checked later)
@@ -442,6 +470,15 @@ def _composite_key(
         elif kind == "str":
             str_idx.append(i)
             packable.append(True)
+        elif kind == "wstr":
+            # candidate by kind; everything width/injectivity-shaped is
+            # decided after job A (no sound FREE lower-bound width exists
+            # for a byte window — the sample's common prefix can be
+            # LONGER than the true one, which would over-estimate the
+            # width and unsoundly decline). The adjacency early-out
+            # below still prunes shapes with no packable neighbor.
+            wstr_idx.append(i)
+            packable.append(True)
         else:
             packable.append(False)
     # no adjacent packable-kind pair ⇒ no group of ≥2 can ever form —
@@ -454,45 +491,80 @@ def _composite_key(
     # A's full-table min/max is pure waste if a string demotion below
     # kills the only viable adjacency.
     if str_idx:
-        lim = len(str_idx) * (GP_DICT_RANK_MAX_KEYS + 2)
-        rows = (
-            df.select(
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(i).alias("i"), kcols[i].alias("v")
-                            )
-                            for i in str_idx
-                        ]
-                    )
-                ).alias("x")
+
+        def _to_wstr(i: int) -> None:
+            # a sampled-low but exactly-WIDE string domain is not dead:
+            # it is precisely the wide-string prefix-pack candidate class
+            # (r12) — reclassify instead of demoting, keeping packable
+            # (the wstr gate chain takes over after job A). Without this,
+            # a key-clustered boundary sample that underestimates a doc
+            # id's cardinality would silently strand it on the struct
+            # path; the driver-gate fixture hits the same shape at small
+            # scale, where every sample is tiny.
+            kinds[i] = "wstr"
+            wstr_idx.append(i)
+
+        # Truncation is ATTRIBUTED, not blanket-demoted (r12): a field
+        # with > GP_DICT_RANK_MAX_KEYS distinct values SEEN in the
+        # truncated collection is definitively wide → reclassify it and
+        # re-run the bounded distinct for the remainder (whose rows the
+        # flood may have crowded out). Truncation always implies such a
+        # flood — pending fields can contribute at most
+        # len(pending) × (MAX + 1 incl. a null row) < lim rows otherwise
+        # — so each round removes ≥1 field and the loop is bounded by
+        # the string-field count; the common case stays ONE job. The old
+        # behavior demoted EVERY string candidate on one unattributable
+        # overflow, which at fixture scale stranded (segment, name) keys
+        # on the struct path: a tiny boundary sample classifies the name
+        # low-card, its exact domain floods the shared limit, and the
+        # blanket demotion killed the genuinely-3-bit segment rank too.
+        pending = list(str_idx)
+        while pending:
+            lim = len(pending) * (GP_DICT_RANK_MAX_KEYS + 2)
+            rows = (
+                df.select(
+                    F.explode(
+                        F.array(
+                            *[
+                                F.struct(
+                                    F.lit(i).alias("i"), kcols[i].alias("v")
+                                )
+                                for i in pending
+                            ]
+                        )
+                    ).alias("x")
+                )
+                .select("x.i", "x.v")
+                .distinct()
+                # lim + 1 so a total distinct count of EXACTLY lim is not
+                # falsely flagged as truncation (r10 ADVICE, low)
+                .limit(lim + 1)
+                .collect()
             )
-            .select("x.i", "x.v")
-            .distinct()
-            # lim + 1 so a total distinct count of EXACTLY lim is not
-            # falsely flagged as truncation (r10 ADVICE, low)
-            .limit(lim + 1)
-            .collect()
-        )
-        if len(rows) > lim:  # truncated ⇒ some domain overflowed; the
-            # culprit is unattributable, so every string candidate
-            # demotes to unpackable (rare: requires a sampled-low but
-            # actually-wide domain)
-            for i in str_idx:
-                packable[i] = False
-            str_idx = []
-        by_field: dict[int, list] = {i: [] for i in str_idx}
-        for r in rows:
-            if r["v"] is not None and r["i"] in by_field:
-                by_field[r["i"]].append(r["v"])
-        for i in str_idx:
-            if len(by_field[i]) > GP_DICT_RANK_MAX_KEYS:
-                packable[i] = False
+            by_field: dict[int, set] = {i: set() for i in pending}
+            for r in rows:
+                if r["v"] is not None and r["i"] in by_field:
+                    by_field[r["i"]].add(r["v"])
+            if len(rows) > lim:
+                floods = [
+                    i
+                    for i in pending
+                    if len(by_field[i]) > GP_DICT_RANK_MAX_KEYS
+                ]
+                for i in floods:
+                    _to_wstr(i)
+                pending = [i for i in pending if i not in floods]
                 continue
-            rmaps[i] = {v: j for j, v in enumerate(sorted(by_field[i]))}
-            if any(b[i] not in rmaps[i] for b in bounds):
-                packable[i] = False  # belt: unmappable bound value
+            for i in pending:
+                if len(by_field[i]) > GP_DICT_RANK_MAX_KEYS:
+                    _to_wstr(i)
+                    continue
+                rmaps[i] = {
+                    v: j for j, v in enumerate(sorted(by_field[i]))
+                }
+                if any(b[i] not in rmaps[i] for b in bounds):
+                    packable[i] = False  # belt: unmappable bound value
+            break
         # re-check adjacency after demotions: if strings gated the only
         # viable pair, bail before paying job A's full-table scan
         if not any(
@@ -501,13 +573,18 @@ def _composite_key(
             return None, rmaps
     lo: dict[int, int] = {}
     span: dict[int, int] = {}
-    if int_idx:
+    wstr_idx.sort()  # job-B reclassifications append out of key order
+    if int_idx or wstr_idx:
         # aggregate the ENCODED exprs so the driver receives longs —
         # min/max commute with the monotone encodes, and no Python-side
         # datetime→micros conversion can disagree with the JVM's here.
         # Float fields mask NaN out of the agg: NaN takes the compact
         # top code (span+2) instead of its huge canonical-slot magnitude
         # (which would blow the width past 63 whenever any NaN exists).
+        # Wide-string fields aggregate the RAW strings: min/max of the
+        # prefix encode equals the encode of min/max (monotonicity), but
+        # the driver also needs the strings themselves to derive the
+        # common-prefix skip before any encode exists.
         def _agg_enc(i: int):
             if i in flt_idx:
                 return F.when(
@@ -523,7 +600,15 @@ def _composite_key(
                     F.min(_agg_enc(i)).alias(f"lo{i}"),
                     F.max(_agg_enc(i)).alias(f"hi{i}"),
                 )
-            ]
+            ],
+            *[
+                a
+                for i in wstr_idx
+                for a in (
+                    F.min(kcols[i]).alias(f"slo{i}"),
+                    F.max(kcols[i]).alias(f"shi{i}"),
+                )
+            ],
         ).collect()[0]
         for i in int_idx:
             if agg_row[f"lo{i}"] is None:  # all-null field: code is always 0
@@ -531,6 +616,79 @@ def _composite_key(
             else:
                 lo[i] = int(agg_row[f"lo{i}"])
                 span[i] = int(agg_row[f"hi{i}"]) - lo[i]
+    # Wide-string prefix pack (r11 verdict item 4). Per candidate field:
+    #   1. skip = the common byte prefix of (min, max) — shared by EVERY
+    #      value (lexicographic order: min ≤ v ≤ max and min, max start
+    #      with P ⇒ v starts with P), so the window compare is exactly
+    #      the tail of Spark's UTF8 compare;
+    #   2. window size k = the LARGEST k ≤ 7 whose exact width could
+    #      still share a 63-bit budget with some adjacent packable
+    #      neighbor (injectivity is monotone in k — if the widest
+    #      affordable window collides, every narrower one does too, so
+    #      one k is the optimal single test);
+    #   3. a FREE sample collision pre-check (two sampled values with
+    #      equal window codes prove non-injectivity — declines URL-style
+    #      shared-prefix domains without paying the exact job);
+    #   4. the exact injectivity job (countDistinct(raw) ==
+    #      countDistinct(encode)) is DEFERRED until grouping proves the
+    #      field actually lands in a ≥2 group — see the grouping loop.
+    wstr_k: dict[int, tuple[int, int]] = {}  # idx -> (skip, nbytes)
+    for i in wstr_idx:
+        smin, smax = agg_row[f"slo{i}"], agg_row[f"shi{i}"]
+        if smin is None:  # all-null field: code is always 0
+            lo[i], span[i] = 0, -1
+            enc[i] = F.lit(None).cast("long")
+            continue
+        bmin = str(smin).encode("utf-8")
+        bmax = str(smax).encode("utf-8")
+        skip = 0
+        for x, y in zip(bmin, bmax):
+            if x != y:
+                break
+            skip += 1
+
+        def _neighbor_w(j: int) -> int | None:
+            # exact width where known; optimistic 1 for a not-yet-chosen
+            # wstr neighbor (greedy grouping re-checks with real widths,
+            # so optimism here can only cost a wasted injectivity test)
+            if not (0 <= j < len(keys)) or not packable[j]:
+                return None
+            if j in lo:
+                mc = span[j] + (2 if j in flt_idx else 1)
+                return max(1, mc.bit_length())
+            if kinds[j] == "str":
+                return max(1, (len(rmaps.get(j, ())) + 1).bit_length())
+            if kinds[j] == "wstr":
+                kk = wstr_k.get(j)
+                if kk is None:
+                    return 1
+                mc = span[j] + 1
+                return max(1, mc.bit_length())
+            return None
+        nbr = [w for w in (_neighbor_w(i - 1), _neighbor_w(i + 1)) if w]
+        chosen = None
+        for k in range(7, 0, -1):
+            s_k = string_prefix_order_long_py(smax, skip, k) - (
+                string_prefix_order_long_py(smin, skip, k)
+            )
+            w = max(1, (s_k + 1).bit_length())
+            if w < 63 and any(w + wn <= 63 for wn in nbr):
+                chosen = (k, s_k, w)
+                break
+        if chosen is None:
+            packable[i] = False
+            continue
+        k, s_k, _w = chosen
+        svals = {t[i] for t in sample_keys if t[i] is not None}
+        if len({string_prefix_order_long_py(v, skip, k) for v in svals}) != len(
+            svals
+        ):
+            packable[i] = False  # proven non-injective, for free
+            continue
+        wstr_k[i] = (skip, k)
+        lo[i] = string_prefix_order_long_py(smin, skip, k)
+        span[i] = s_k
+        enc[i] = string_prefix_order_long(kcols[i], skip, k)
     # per-field code widths; None = unpackable (by kind, domain, or an
     # individual width that could never share a 63-bit long)
     widths: list[int | None] = []
@@ -547,26 +705,78 @@ def _composite_key(
         widths.append(w if w < 63 else None)
     # greedy left-to-right grouping under the 63-bit budget — optimal
     # for minimizing contiguous group count
-    fgroups: list[list[int]] = []
-    cur: list[int] = []
-    cur_w = 0
-    for i in range(len(keys)):
-        w = widths[i]
-        if w is None:
-            if cur:
+    def _greedy(ws: list) -> list[list[int]]:
+        fgroups: list[list[int]] = []
+        cur: list[int] = []
+        cur_w = 0
+        for i in range(len(keys)):
+            w = ws[i]
+            if w is None:
+                if cur:
+                    fgroups.append(cur)
+                    cur, cur_w = [], 0
+                fgroups.append([i])
+                continue
+            if cur and cur_w + w > 63:
                 fgroups.append(cur)
                 cur, cur_w = [], 0
-            fgroups.append([i])
-            continue
-        if cur and cur_w + w > 63:
+            cur.append(i)
+            cur_w += w
+        if cur:
             fgroups.append(cur)
-            cur, cur_w = [], 0
-        cur.append(i)
-        cur_w += w
-    if cur:
-        fgroups.append(cur)
+        return fgroups
+
+    # Exact injectivity gate for wide-string fields, DEFERRED until the
+    # grouping proves the field actually lands in a ≥2 group (a
+    # singleton wstr gains nothing from encoding — the measured cost law
+    # is per search FIELD — so its injectivity job would be pure waste).
+    # countDistinct(raw) == countDistinct(encode) ⇔ the window is
+    # injective over distinct values ⇔ the monotone encode is STRICTLY
+    # order-isomorphic: window ties between distinct strings would
+    # mis-sort the per-bucket window AND corrupt row-vs-bound search
+    # ties, so near-misses demote to the struct path. One keys-only agg
+    # covers every field the grouping engaged; a demotion regroups and
+    # re-checks any wstr newly pulled into a group (≤ |wstr fields|
+    # rounds, each round one job).
+    checked: set[int] = set()
+    while True:
+        fgroups = _greedy(widths)
+        need = [
+            i
+            for g in fgroups
+            if len(g) >= 2
+            for i in g
+            if i in wstr_k and i not in checked
+        ]
+        if not need:
+            break
+        cd_row = df.agg(
+            *[
+                a
+                for i in need
+                for a in (
+                    F.countDistinct(kcols[i]).alias(f"cd{i}"),
+                    F.countDistinct(enc[i]).alias(f"ce{i}"),
+                )
+            ]
+        ).collect()[0]
+        clean = True
+        for i in need:
+            checked.add(i)
+            if cd_row[f"cd{i}"] != cd_row[f"ce{i}"]:
+                packable[i] = False
+                widths[i] = None
+                del wstr_k[i]
+                clean = False
+        if clean:
+            break
     if max(len(g) for g in fgroups) < 2:
         return None, rmaps
+    if info is not None:
+        info["wstr_packed_fields"] = sorted(
+            i for g in fgroups if len(g) >= 2 for i in g if i in wstr_k
+        )
+        info["wstr_windows"] = {i: wstr_k[i] for i in info["wstr_packed_fields"]}
 
     def _code_expr(i: int):
         if i in flt_idx:
@@ -590,11 +800,15 @@ def _composite_key(
         # integral/timestamp bounds are already longs (timestamps sampled
         # pre-encoded as epoch micros — no Python datetime round-trip);
         # float bounds encode through the bit-twin (py4j doubles are
-        # bit-exact, and only monotonicity is load-bearing anyway)
+        # bit-exact, and only monotonicity is load-bearing anyway);
+        # wide-string bounds window through the prefix bit-twin
         if i in flt_idx:
             if math.isnan(v):
                 return span[i] + 2
             return double_order_long_py(v) - lo[i] + 1
+        if i in wstr_k:
+            skip, k = wstr_k[i]
+            return string_prefix_order_long_py(v, skip, k) - lo[i] + 1
         if i in lo:
             return int(v) - lo[i] + 1
         return rmaps[i][v] + 1
@@ -911,8 +1125,11 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
     rank_maps: dict[int, dict] = {}
     groups = None
     pre_rmaps: dict[int, dict] = {}
+    comp_info: dict = {}
     if bounds and est_rows >= GP_COMPOSITE_MIN_ROWS:
-        groups, pre_rmaps = _composite_key(df, keys, kcols, sample_keys, bounds)
+        groups, pre_rmaps = _composite_key(
+            df, keys, kcols, sample_keys, bounds, info=comp_info
+        )
         if groups is None:
             rank_maps = _dict_rank_maps(
                 df, keys, kcols, sample_keys, bounds, precomputed=pre_rmaps
@@ -1043,6 +1260,7 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
             dict_rank_fields=sorted(rank_maps),
             composite_key=groups is not None,
             search_fields=len(sort_exprs),
+            **comp_info,
         )
     off_arr = F.lit([int(v) for v in offs])  # one py4j call → array<long> literal
     # the window orders by the RANK columns where a premap engaged —

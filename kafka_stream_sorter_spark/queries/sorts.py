@@ -198,6 +198,40 @@ def keyed_fanout_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "keyed_fanout_name",
+    oracle="""
+    SELECT c_custkey,
+           row_number() OVER (
+             ORDER BY c_mktsegment NULLS FIRST, c_name NULLS FIRST
+           ) AS pos
+    FROM customer
+    """,
+)
+def keyed_fanout_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positioned fanout keyed by a HIGH-cardinality string — (segment,
+    unique name), the last declined-path class a real user hits (r11
+    verdict item 4: doc ids, names, URLs; the reference's own ``./sorter
+    name`` sorts exactly this column, external_sort.go:368-398).
+
+    ``c_name`` is 'Customer#<9 digits>': every value shares the min/max
+    byte prefix and the remaining digits fit one ≤7-byte window, so
+    above GP_COMPOSITE_MIN_ROWS the wide-string prefix pack
+    (functions/numeric.string_prefix_order_long, gated on an exact
+    countDistinct injectivity pre-job) folds (segment rank ≈3 bits,
+    name window ≈41-49 bits) into ONE search long. At driver-gate scale
+    the min-rows gate keeps the struct-compare path; the packed path is
+    proven hash-identical on this registered shape by
+    scripts/verify_gp_grouped_registered.py with the gate lowered.
+    ASCII-only data keeps Spark UTF8 binary order == DuckDB (the
+    sort_lexicographic precedent). Output carries positions + keys only."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_name"
+    )
+    pos_df = sort_ops.with_global_position(customer, "c_mktsegment", "c_name")
+    return pos_df.select("c_custkey", F.col("global_pos").alias("pos"))
+
+
+@query(
     "topk",
     oracle="""
     SELECT event_id, user_id, value

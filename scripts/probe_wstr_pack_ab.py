@@ -1,34 +1,29 @@
 #!/usr/bin/env python
-"""Adjudicate the float rank-pack's execution-phase value under VM drift.
+"""Adjudicate the wide-string prefix pack's value (r11 verdict item 4),
+with the drift-robust alternating-repeat design probe_float_pack_ab.py
+established (CLAUDE.md timing rules: ALTERNATING arms so host phases hit
+every arm, noop sink to drop the parquet/disk common term, per-repeat
+walls + build/exec split + calib bracket, medians quoted).
 
-Two end-to-end 150M invocations of probe_gp_fallback.py's float pair
-CONTRADICTED each other (packed/declined wall 0.76, then 1.31) because
-the host drifted 3-7x WITHIN each invocation (calib brackets 0.284→0.101
-and 0.216→0.694) — per-config windows of ~8 min are too long for
-in-window ratios on this VM. This probe replaces them with the
-drift-robust design CLAUDE.md's timing rules point at:
+Arms (synthetic events frame, same construction family as the float
+probe; the name column is 'Customer#00' + 7 zero-padded digits so the
+min/max common-prefix strip leaves exactly one 7-byte injective window —
+the registered keyed_fanout_name shape at probe scale):
 
-  * ALTERNATING repeats — arms interleave A B C D A B C D ... so slow
-    host phases hit every arm, not one;
-  * noop sink — drops parquet encode + disk (the ~250-300 s common term
-    that masked any search-phase difference at 150M) while still
-    executing scan, pre-jobs, bucket search, hash shuffle, window sort,
-    and row_number;
-  * per-repeat walls + build/exec split + calib bracket, medians quoted.
-
-Arms (same synthetic events frame as probe_gp_fallback.py):
-
-  float_packed   (type, score, id) — packed (type+score fold, 2 search
-                 fields); per-row cost includes double_order_long
-  float_declined same keys, _composite_key suppressed (pre-r11 path:
-                 3-field struct search, dict premap on f0)
-  ts_packed      (type, ts, id) — the r10 grouped shape (2 search
-                 fields, integer arithmetic only): POSITIVE CONTROL —
-                 r10 measured grouped/declined 0.68 reproduced within
-                 4%, so this arm validates the method
+  name_packed    (seg, name, id) — (seg rank + name window) fold into
+                 ONE search long, id singleton: 2 search fields; build
+                 pays the pack pre-jobs INCLUDING the exact countDistinct
+                 injectivity gate over 100M strings (the new pre-job this
+                 probe must price)
+  name_declined  same keys, _composite_key suppressed (pre-r12 path:
+                 3-field struct search, dict premap on seg, UTF8
+                 compares on the name in search AND window sort)
+  ts_packed      (seg, ts, id) — POSITIVE CONTROL: r10/r11 measured
+                 grouped/declined exec 0.60-0.68; reproducing it
+                 validates the method in this window
   ts_declined    same keys, suppressed
 
-Usage: python scripts/probe_float_pack_ab.py [n_rows] [repeats] [--arms=a,b]
+Usage: python scripts/probe_wstr_pack_ab.py [n_rows] [repeats] [--arms=a,b]
 Default 100M × 3, all four arms. Run EXCLUSIVELY.
 """
 
@@ -68,7 +63,7 @@ def main() -> None:
     from kafka_stream_sorter_spark.session import get_spark
 
     c_start = calib()
-    spark = get_spark(app_name="probe-float-pack-ab")
+    spark = get_spark(app_name="probe-wstr-pack-ab")
     spark.range(0, 2_000_000, 1, 32).select(
         F.pmod(F.xxhash64("id"), F.lit(1000)).alias("g"), "id"
     ).groupBy("g").agg(F.sum("id").alias("s")).write.format("noop").mode(
@@ -77,25 +72,28 @@ def main() -> None:
 
     events = spark.range(0, N_ROWS, 1, 64).select(
         F.pmod(F.col("id") * F.lit(2654435761), F.lit(N_ROWS)).alias("event_id"),
-        F.concat(F.lit("type_"), F.pmod(F.xxhash64("id"), F.lit(8))).alias(
-            "event_type"
-        ),
+        F.concat(F.lit("seg_"), F.pmod(F.xxhash64("id"), F.lit(8))).alias("seg"),
+        F.concat(
+            F.lit("Customer#00"),
+            F.lpad(
+                F.pmod(F.xxhash64("id", F.lit(3)), F.lit(10_000_000)).cast(
+                    "string"
+                ),
+                7,
+                "0",
+            ),
+        ).alias("name"),
         F.timestamp_micros(
             F.pmod(F.xxhash64("id", F.lit(13)), F.lit(63_000_000_000_000))
             + F.lit(1_700_000_000_000_000)
         ).alias("ts"),
-        (
-            F.lit(256.0)
-            + F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1_000_000)).cast("double")
-            / F.lit(2097152.0)
-        ).alias("score"),
     )
 
     arms = {
-        "float_packed": (("event_type", "score", "event_id"), True, 2),
-        "float_declined": (("event_type", "score", "event_id"), False, 3),
-        "ts_packed": (("event_type", "ts", "event_id"), True, 2),
-        "ts_declined": (("event_type", "ts", "event_id"), False, 3),
+        "name_packed": (("seg", "name", "event_id"), True, 2),
+        "name_declined": (("seg", "name", "event_id"), False, 3),
+        "ts_packed": (("seg", "ts", "event_id"), True, 2),
+        "ts_declined": (("seg", "ts", "event_id"), False, 3),
     }
     if ONLY_ARMS:
         arms = {a: arms[a] for a in ONLY_ARMS}
@@ -122,6 +120,8 @@ def main() -> None:
                 sort_ops._composite_key = orig_ck
             assert stats["composite_key"] is packed, (label, stats)
             assert stats["search_fields"] == want_fields, (label, stats)
+            if label == "name_packed":
+                assert stats.get("wstr_packed_fields") == [1], (label, stats)
             walls[label].append(round(t1 - t0, 1))
             builds[label].append(round(t_mid - t0, 1))
             execs[label].append(round(t1 - t_mid, 1))
@@ -131,7 +131,7 @@ def main() -> None:
         return round(statistics.median(xs), 1)
 
     report = {
-        "probe": "float_pack_ab_noop",
+        "probe": "wstr_pack_ab_noop",
         "n_rows": N_ROWS,
         "repeats": REPEATS,
         "walls": walls,
@@ -139,11 +139,12 @@ def main() -> None:
         "execs": execs,
         "medians": {a: med(walls[a]) for a in arms},
         "exec_medians": {a: med(execs[a]) for a in arms},
+        "build_medians": {a: med(builds[a]) for a in arms},
         "calib_matmul_sec": calibs,
         "load_avg": round(os.getloadavg()[0], 2),
     }
     for pair, tag in (
-        (("float_packed", "float_declined"), "float"),
+        (("name_packed", "name_declined"), "name"),
         (("ts_packed", "ts_declined"), "ts"),
     ):
         if pair[0] in arms and pair[1] in arms:

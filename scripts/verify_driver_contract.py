@@ -132,7 +132,7 @@ def main() -> int:
         # exact-hash closing gate must also prove packed ≡ struct ≡
         # oracle — a sort.py change can't silently skip it. Runs for the
         # full sweep or when either fanout query is in the filter.
-        gp_names = {"keyed_fanout_ts", "keyed_fanout_score"}
+        gp_names = {"keyed_fanout_ts", "keyed_fanout_score", "keyed_fanout_name"}
         if not failures and (not ONLY or ONLY & gp_names):
             import verify_gp_grouped_registered as gp
 

@@ -11,7 +11,10 @@ attests the struct-compare path:
     partial-pack ((type,ts) packed, 48-bit wide singleton);
   * keyed_fanout_score — (event_type, float score, event_id): the
     IEEE-754 FLOAT rank-pack ((type,score) packed via
-    functions/numeric.double_order_long, id singleton).
+    functions/numeric.double_order_long, id singleton);
+  * keyed_fanout_name  — (c_mktsegment, c_name): the WIDE-STRING
+    prefix pack (functions/numeric.string_prefix_order_long behind
+    the exact injectivity gate), both fields in one composite (r12).
 
 This script closes the evidence gap WITHOUT touching the registered
 queries: each registered callable runs at the given sf (default sf0.1)
@@ -66,9 +69,13 @@ def _keyed_frames(spark, sf):
         ev.select("event_id", "event_type", "value")
         .withColumn("score", F.lit(256.0) + F.col("value") / F.lit(1024.0))
     )
+    name_keyed = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment", "c_name"
+    )
     return {
         "keyed_fanout_ts": (ts_keyed, ("event_type", "ts", "wide_id")),
         "keyed_fanout_score": (score_keyed, ("event_type", "score", "event_id")),
+        "keyed_fanout_name": (name_keyed, ("c_mktsegment", "c_name")),
     }
 
 
@@ -102,7 +109,14 @@ def main(sf: str | None = None) -> int:
     con = duck_connect(sf)
     default_gate = sort_ops.GP_COMPOSITE_MIN_ROWS
     failures: list[str] = []
-    for name in ("keyed_fanout_ts", "keyed_fanout_score"):
+    # query -> raw key field count (packing must REDUCE the search
+    # field count below it; the exact grouping is scale-dependent)
+    raw_fields = {
+        "keyed_fanout_ts": 3,
+        "keyed_fanout_score": 3,
+        "keyed_fanout_name": 2,
+    }
+    for name in ("keyed_fanout_ts", "keyed_fanout_score", "keyed_fanout_name"):
         print(f"{name}:")
         q = qs[name]
         hashes: list[str] = []
@@ -145,25 +159,31 @@ def main(sf: str | None = None) -> int:
             )
         if stats.get("composite_key") is not True:
             failures.append(f"{name}: lowered gate did not engage the composite")
-        # The grouping is SCALE-DEPENDENT by design: at sf0.1 both shapes
-        # group as 2 search fields (packed pair + singleton), while at
-        # sf0.01 the score shape's event_id range shrinks enough that all
-        # three fields fit one 63-bit composite (search_fields=1 — a
-        # STRONGER pack, not a fallback). A silent decline would report
-        # composite_key=False with the raw 3-field search, so requiring
-        # fewer search fields than raw key fields still catches it.
-        if not 1 <= stats.get("search_fields", 99) < 3:
+        # The grouping is SCALE-DEPENDENT by design: at sf0.1 the 3-field
+        # shapes group as 2 search fields (packed pair + singleton),
+        # while at sf0.01 the score shape's event_id range shrinks enough
+        # that all three fields fit one 63-bit composite (search_fields=1
+        # — a STRONGER pack, not a fallback). A silent decline would
+        # report composite_key=False with the raw N-field search, so
+        # requiring fewer search fields than raw key fields catches it.
+        if not 1 <= stats.get("search_fields", 99) < raw_fields[name]:
             failures.append(
-                f"{name}: expected a packed 1- or 2-search-field shape, got "
-                f"{stats.get('search_fields')}"
+                f"{name}: expected < {raw_fields[name]} packed search "
+                f"fields, got {stats.get('search_fields')}"
+            )
+        if name == "keyed_fanout_name" and stats.get("wstr_packed_fields") != [1]:
+            failures.append(
+                f"{name}: wide-string prefix pack did not engage on the "
+                f"name field (wstr_packed_fields="
+                f"{stats.get('wstr_packed_fields')})"
             )
     con.close()
     if failures:
         print("\nFAIL: " + "; ".join(failures))
         return 1
     print(
-        f"\nALL MATCH: packed paths ≡ struct-compare ≡ oracle on both "
-        f"registered fanout shapes at {sf} (×8 runs each)"
+        f"\nALL MATCH: packed paths ≡ struct-compare ≡ oracle on all "
+        f"{len(raw_fields)} registered fanout shapes at {sf} (×8 runs each)"
     )
     return 0
 

@@ -741,17 +741,24 @@ def test_with_global_position_grouping_splits_on_unpackable(spark, monkeypatch):
 def test_composite_key_distinct_truncation_declines(spark, monkeypatch):
     """_composite_key's fused explode-distinct pre-job is limit-bounded;
     a string domain that passes the free SAMPLE pre-gate but overflows
-    the exact-distinct limit (the non-deterministic-source belt / skewed
-    sample case) must decline rather than rank-pack a partial map —
-    a value outside the map would code to the null slot and mis-sort."""
+    the exact-distinct limit must never rank-pack a partial map — a
+    value outside the map would code to the null slot and mis-sort.
+    Since r12 the overflow reclassifies into the wide-string path, so to
+    stay a DECLINE pin the domain is built non-injective in every
+    affordable window (real distinction beyond skip+7 bytes): the wstr
+    sample collision pre-check must then reject it too, landing the key
+    on the struct path with no partial artifacts."""
     n = 300
-    rows = [(f"s{i % 120:03d}", i) for i in range(n)]  # 120 > 64 distinct
+    # first divergence at byte 1 (i%2), then 10 constant bytes, the real
+    # distinction in the tail — every 7-byte window ties across values
+    rows = [(f"a{i % 2}mmmmmmmmmm{i % 120:04d}", i) for i in range(n)]
     df = spark.createDataFrame(rows, "k string, tb long")
     kcols = [F.col("k"), F.col("tb")]
     # a sample that (wrongly) suggests a tiny domain — the exact job must
-    # still catch the overflow
-    sample_keys = [("s000", 0), ("s001", 1), ("s002", 2)]
-    bounds = [("s001", 1)]
+    # still catch the overflow; it must also carry a window collision so
+    # the free wstr pre-check can prove non-injectivity
+    sample_keys = [(rows[0][0], 0), (rows[1][0], 1), (rows[2][0], 2)]
+    bounds = [(rows[1][0], 1)]
     comp, rmaps = sort_ops._composite_key(
         df, ("k", "tb"), kcols, sample_keys, bounds
     )
@@ -821,27 +828,31 @@ def test_composite_key_distinct_exact_lim_is_not_truncation(spark):
     assert comp is not None
     assert len(rmaps[0]) == 64
 
-    # exactly lim (66) distinct: truncation must NOT fire, and the
-    # per-field cap (66 > 64) is what demotes — rmaps stays empty but
-    # the function was able to ATTRIBUTE the overflow to the field
+    # exactly lim (66) distinct: truncation must NOT fire; the per-field
+    # cap (66 > 64) attributes the overflow, which since r12 RECLASSIFIES
+    # into the wide-string path — here injective ('s'+2 digits fit one
+    # window), so the pair still packs, just via the window encode
+    # instead of a rank map (no partial map may ever be emitted)
     rows66 = [(f"s{i % 66:02d}", i) for i in range(n)]
     df66 = spark.createDataFrame(rows66, "k string, tb long")
+    info2: dict = {}
     comp2, rmaps2 = sort_ops._composite_key(
-        df66, ("k", "tb"), kcols, sample_keys, bounds
+        df66, ("k", "tb"), kcols, sample_keys, bounds, info=info2
     )
-    assert comp2 is None
+    assert comp2 is not None
+    assert [g["idx"] for g in comp2] == [[0, 1]]
     assert rmaps2 == {}
+    assert info2.get("wstr_packed_fields") == [0], info2
 
 
-def test_composite_key_string_demotion_skips_minmax_job(spark, monkeypatch):
-    """r11 (r10 ADVICE, low): job B (string distinct) runs BEFORE job A
-    (full-table min/max agg) — when the string demotion kills the only
-    viable adjacency, the full scan must be skipped entirely. Pin it by
-    making .agg() explode: a (wide_string, long) pair whose sample
-    pre-gate passes but whose exact domain overflows must return None
-    WITHOUT touching agg."""
-    from pyspark.sql import DataFrame
-
+def test_composite_key_string_overflow_reclassifies_wstr(spark):
+    """r12 (supersedes the r11 skip-job-A pin): a string whose sample
+    pre-gate passes but whose exact domain overflows the rank-map cap no
+    longer blanket-demotes — job B ATTRIBUTES the overflow and
+    reclassifies the field into the wide-string prefix-pack path, which
+    here packs (window 's'+digits, injective) with the long neighbor.
+    The r11 behavior declined the whole composite and paid the 5.5-9.6×
+    struct path for a key the prefix window handles exactly."""
     n = 400
     rows = [(f"s{i % 120:03d}", i) for i in range(n)]  # 120 > 64 distinct
     df = spark.createDataFrame(rows, "k string, tb long")
@@ -849,14 +860,29 @@ def test_composite_key_string_demotion_skips_minmax_job(spark, monkeypatch):
     sample_keys = [("s000", 0), ("s001", 1)]  # wrongly suggests tiny domain
     bounds = [("s001", 1)]
 
-    def _no_agg(self, *a, **kw):  # pragma: no cover - failure path
-        raise AssertionError("job A (min/max agg) ran after string demotion")
-
-    monkeypatch.setattr(DataFrame, "agg", _no_agg)
+    info: dict = {}
     comp, rmaps = sort_ops._composite_key(
-        df, ("k", "tb"), kcols, sample_keys, bounds
+        df, ("k", "tb"), kcols, sample_keys, bounds, info=info
     )
-    assert comp is None
+    assert comp is not None
+    assert [g["idx"] for g in comp] == [[0, 1]]
+    assert info.get("wstr_packed_fields") == [0], info
+    # end-to-end: packed positions must equal the struct order
+    stats: dict = {}
+    import unittest.mock as mock
+
+    with mock.patch.object(sort_ops, "GP_SAMPLE_MOD", 2), mock.patch.object(
+        sort_ops, "GP_COMPOSITE_MIN_ROWS", 0
+    ):
+        got = (
+            sort_ops.with_global_position(df, "k", "tb", stats=stats)
+            .orderBy("global_pos")
+            .select("tb")
+            .collect()
+        )
+    assert stats["composite_key"] is True and stats.get("wstr_packed_fields") == [0]
+    expect = [r["tb"] for r in df.orderBy(F.col("k").asc(), F.col("tb").asc()).collect()]
+    assert [r["tb"] for r in got] == expect
 
 
 def test_with_global_position_timestamp_dst_driver_tz(spark, monkeypatch):

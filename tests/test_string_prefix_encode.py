@@ -1,0 +1,223 @@
+"""Pins for the UTF-8 prefix-window string encode
+(functions/numeric.string_prefix_order_long and its driver bit-twin)
+and for the wide-string rank-pack path it enables in the position
+machinery (operators/sort._composite_key, r11 verdict item 4).
+
+The encode is only CONDITIONALLY order-isomorphic — every value must
+share the skipped prefix and the window must be injective over distinct
+values — so beyond the bit-twin lockstep (CLAUDE.md: hash/encode
+triples move together) these tests pin the GATES: the free sample
+collision pre-check, the exact countDistinct injectivity job, its
+deferral for singleton groups, and the decline paths that keep a
+non-injective domain on the struct-compare path."""
+
+from __future__ import annotations
+
+import random
+import string
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_stream_sorter_spark.functions.numeric import (
+    string_prefix_order_long,
+    string_prefix_order_long_py,
+)
+from kafka_stream_sorter_spark.operators import sort as sort_ops
+
+# embedded NULs, multi-byte UTF-8 (2/3/4-byte), proper prefixes of each
+# other, empty string, window-boundary ties — every class that could
+# split the Spark expression from the Python twin or break padding
+EDGES = [
+    "",
+    "a",
+    "ab",
+    "ab\x00",
+    "ab\x00\x00",
+    "abc",
+    "abcdefg",
+    "abcdefgh",
+    "abcdefghi",
+    "Customer#000000042",
+    "café",  # 2-byte UTF-8 tail
+    "é",
+    "中文",  # 3-byte CJK
+    "\U0001f600",  # 4-byte emoji
+    "\x00",
+    "\x00a",
+    "zzzzzzzz",
+    "\x7f\x7f\x7f\x7f\x7f\x7f\x7f\x7f",
+]
+
+
+def _corpus() -> list[str]:
+    rng = random.Random(7)
+    vals = list(EDGES)
+    alphabet = string.ascii_letters + string.digits + "#_-/\x00é中"
+    for _ in range(2000):
+        n = rng.randrange(0, 14)
+        vals.append("".join(rng.choice(alphabet) for _ in range(n)))
+    return vals
+
+
+@pytest.mark.parametrize("skip,nbytes", [(0, 7), (0, 1), (3, 4), (9, 7), (50, 2)])
+def test_string_prefix_encode_matches_bit_twin(spark, skip, nbytes):
+    vals = _corpus()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, s string"
+    )
+    got = {
+        r["i"]: r["e"]
+        for r in df.select(
+            "i", string_prefix_order_long(F.col("s"), skip, nbytes).alias("e")
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        assert got[i] == string_prefix_order_long_py(v, skip, nbytes), (
+            v, skip, nbytes, got[i],
+        )
+    ndf = spark.createDataFrame([(None,)], "s string")
+    assert (
+        ndf.select(string_prefix_order_long("s", skip, nbytes).alias("e"))
+        .collect()[0]["e"]
+        is None
+    )
+
+
+def test_string_prefix_encode_order_isomorphic_on_valid_domain(spark):
+    """On a domain satisfying the two premises (shared skip-prefix,
+    injective window) the encode order must equal Spark's own string
+    sort order — the ground truth the rank-pack reproduces."""
+    rng = random.Random(11)
+    seen = set()
+    vals = []
+    while len(vals) < 1500:
+        suffix = "".join(
+            rng.choice(string.ascii_lowercase + string.digits)
+            for _ in range(rng.randrange(1, 8))
+        )
+        if suffix not in seen:
+            seen.add(suffix)
+            vals.append("doc_" + suffix)
+    # premises: common prefix "doc_" (skip 4), suffixes ≤7 bytes unique
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, s string")
+    by_str = [r["i"] for r in df.orderBy(F.col("s").asc()).collect()]
+    by_enc = [
+        r["i"]
+        for r in df.withColumn("e", string_prefix_order_long("s", 4, 7))
+        .orderBy(F.col("e").asc())
+        .collect()
+    ]
+    assert by_str == by_enc
+    # and the twin agrees with Python byte-order sorting of the encode
+    encs = {v: string_prefix_order_long_py(v, 4, 7) for v in vals}
+    assert sorted(vals) == sorted(vals, key=lambda v: encs[v])
+
+
+def test_with_global_position_wide_string_packs(spark, monkeypatch):
+    """(low-card type, wide unique name, id): the wide string passes the
+    injectivity gate and packs — positions must be bit-identical to
+    Spark's struct order. Engagement is asserted through the stats
+    channel (wstr_packed_fields), so a silent decline cannot pass."""
+    monkeypatch.setattr(sort_ops, "GP_SAMPLE_MOD", 2)
+    monkeypatch.setattr(sort_ops, "GP_COMPOSITE_MIN_ROWS", 0)
+    n = 4000
+    rows = []
+    for i in range(n):
+        name = None if i % 101 == 0 else f"Customer#{(i * 2654435761) % 100000:09d}"
+        rows.append((f"t{(i * 13) % 6}", name, i))
+    df = spark.createDataFrame(rows, "k string, name string, tb long")
+    stats: dict = {}
+    got = (
+        sort_ops.with_global_position(df, "k", "name", "tb", stats=stats)
+        .orderBy("global_pos")
+        .select("k", "tb", "global_pos")
+        .collect()
+    )
+    assert stats["composite_key"] is True, stats
+    assert stats.get("wstr_packed_fields") == [1], stats
+    skip, k = stats["wstr_windows"][1]
+    # "Customer#0000" is the common prefix of min/max here (ids < 1e5
+    # keep the first four id digits constant at 0); the gate picks the
+    # WIDEST affordable window (7 — 5 varying digits + 2 pad bytes),
+    # maximizing the injectivity chance
+    assert (skip, k) == (13, 7), stats
+    expect = [
+        (r["k"], r["tb"])
+        for r in df.orderBy(
+            F.col("k").asc(), F.col("name").asc(), F.col("tb").asc()
+        ).collect()
+    ]
+    assert [(r["k"], r["tb"]) for r in got] == expect
+    assert [r["global_pos"] for r in got] == list(range(1, n + 1))
+
+
+def test_wide_string_noninjective_window_declines(spark, monkeypatch):
+    """Distinct strings that tie inside every affordable window (URL
+    style: differences beyond skip+7 bytes) must DECLINE to the struct
+    path — and positions must still be exact. This is the case where
+    bound prefix-disjointness alone would silently mis-sort."""
+    monkeypatch.setattr(sort_ops, "GP_SAMPLE_MOD", 2)
+    monkeypatch.setattr(sort_ops, "GP_COMPOSITE_MIN_ROWS", 0)
+    n = 3000
+    rows = []
+    for i in range(n):
+        # the first divergence (the i%3 digit) pins the window start,
+        # but the real distinction lives past skip+7 — every affordable
+        # window ties across distinct URLs, so the free sample collision
+        # pre-check must decline. (A naive trailing-zeros id would NOT
+        # decline: the common-prefix strip eats constant digit runs and
+        # the remaining short window is genuinely injective.)
+        url = (
+            f"https://example.com/{i % 3}/section/"
+            f"{(i * 2654435761) % 10**12:018d}"
+        )
+        rows.append((url, i))
+    df = spark.createDataFrame(rows, "u string, tb long")
+    stats: dict = {}
+    got = (
+        sort_ops.with_global_position(df, "u", "tb", stats=stats)
+        .orderBy("global_pos")
+        .select("tb", "global_pos")
+        .collect()
+    )
+    assert stats.get("wstr_packed_fields") in (None, []), stats
+    expect = [r["tb"] for r in df.orderBy(F.col("u").asc(), F.col("tb").asc()).collect()]
+    assert [r["tb"] for r in got] == expect
+
+
+def test_wide_string_singleton_skips_injectivity_job(spark):
+    """A wstr field whose neighbors cannot share a budget ends a
+    singleton — the exact countDistinct injectivity job must NOT run
+    (it is deferred behind group membership; a singleton gains nothing
+    from encoding). Asserted with an agg spy that allows exactly the
+    min/max pre-job and nothing countDistinct-shaped."""
+    from pyspark.sql import DataFrame
+
+    n = 800
+    rows = [
+        (f"name_{(i * 2654435761) % 10**12:014d}", ((i * 48271) % 4096) / 4096.0, i)
+        for i in range(n)
+    ]
+    # (wide string, wide float, wide id): float spans ~62 bits and id is
+    # wide too, so no adjacency ever fits alongside the string window
+    df = spark.createDataFrame(rows, "s string, f double, tb long")
+    kcols = [F.col("s"), F.col("f"), F.col("tb")]
+    sample_keys = [tuple(r) for r in rows[:300]]
+    bounds = [tuple(rows[50]), tuple(rows[100])]
+
+    calls: list = []
+    orig_agg = DataFrame.agg
+
+    def spy_agg(self, *a, **kw):
+        calls.append([str(c) for c in a])
+        return orig_agg(self, *a, **kw)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(DataFrame, "agg", spy_agg):
+        comp, rmaps = sort_ops._composite_key(
+            df, ("s", "f", "tb"), kcols, sample_keys, bounds
+        )
+    flat = [s for call in calls for s in call]
+    assert not any("count" in s.lower() for s in flat), flat
