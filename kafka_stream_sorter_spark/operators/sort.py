@@ -607,6 +607,19 @@ def _composite_key(
                 for a in (
                     F.min(kcols[i]).alias(f"slo{i}"),
                     F.max(kcols[i]).alias(f"shi{i}"),
+                    # for the trivial-injectivity shortcut: if every
+                    # value's bytes fit inside the window and none ends
+                    # with a NUL byte, the window IS the whole tail and
+                    # injectivity is automatic — no countDistinct job.
+                    # ascii(reverse(s)) == 0 flags a trailing U+0000 and
+                    # (conservatively) the empty string; a false flag
+                    # only costs the exact job, never soundness.
+                    F.max(F.octet_length(kcols[i])).alias(f"slen{i}"),
+                    F.max(
+                        F.when(
+                            F.ascii(F.reverse(kcols[i])) == 0, F.lit(1)
+                        ).otherwise(F.lit(0))
+                    ).alias(f"snul{i}"),
                 )
             ],
         ).collect()[0]
@@ -629,10 +642,22 @@ def _composite_key(
     #   3. a FREE sample collision pre-check (two sampled values with
     #      equal window codes prove non-injectivity — declines URL-style
     #      shared-prefix domains without paying the exact job);
-    #   4. the exact injectivity job (countDistinct(raw) ==
+    #   4. the TRIVIAL-injectivity shortcut (r12, from the 200M probe's
+    #      pre-job accounting: the countDistinct agg was ~90 s/200M, the
+    #      dominant pack tax): when max(octet_length) ≤ skip + k and no
+    #      value ends with a NUL byte, the window covers every tail
+    #      ENTIRELY, so distinct values give distinct padded windows by
+    #      construction — padded windows can only tie when one tail
+    #      extends the other with all-0x00 bytes, which the NUL flag
+    #      excludes (the flag also catches the shorter-tail-empty edge).
+    #      Both facts ride job A for free; the doc-id/name shapes this
+    #      pack exists for (bounded suffix after a common prefix) all
+    #      take this path and never pay a countDistinct;
+    #   5. otherwise the exact injectivity job (countDistinct(raw) ==
     #      countDistinct(encode)) is DEFERRED until grouping proves the
     #      field actually lands in a ≥2 group — see the grouping loop.
     wstr_k: dict[int, tuple[int, int]] = {}  # idx -> (skip, nbytes)
+    wstr_trivial: set[int] = set()  # proven injective without job C
     for i in wstr_idx:
         smin, smax = agg_row[f"slo{i}"], agg_row[f"shi{i}"]
         if smin is None:  # all-null field: code is always 0
@@ -686,6 +711,8 @@ def _composite_key(
             packable[i] = False  # proven non-injective, for free
             continue
         wstr_k[i] = (skip, k)
+        if int(agg_row[f"slen{i}"]) <= skip + k and not agg_row[f"snul{i}"]:
+            wstr_trivial.add(i)
         lo[i] = string_prefix_order_long_py(smin, skip, k)
         span[i] = s_k
         enc[i] = string_prefix_order_long(kcols[i], skip, k)
@@ -738,7 +765,7 @@ def _composite_key(
     # covers every field the grouping engaged; a demotion regroups and
     # re-checks any wstr newly pulled into a group (≤ |wstr fields|
     # rounds, each round one job).
-    checked: set[int] = set()
+    checked: set[int] = set(wstr_trivial)  # shortcut fields never need job C
     while True:
         fgroups = _greedy(widths)
         need = [
@@ -777,6 +804,9 @@ def _composite_key(
             i for g in fgroups if len(g) >= 2 for i in g if i in wstr_k
         )
         info["wstr_windows"] = {i: wstr_k[i] for i in info["wstr_packed_fields"]}
+        info["wstr_trivial_fields"] = sorted(
+            i for i in info["wstr_packed_fields"] if i in wstr_trivial
+        )
 
     def _code_expr(i: int):
         if i in flt_idx:

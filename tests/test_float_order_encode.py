@@ -179,7 +179,10 @@ def test_float_wide_domain_declines_free(spark, monkeypatch):
     def _no_agg(self, *a, **kw):  # pragma: no cover - failure path
         raise AssertionError("min/max pre-job ran for a hopeless float key")
 
-    monkeypatch.setattr(DataFrame, "agg", _no_agg)
+    # patch the CONCRETE class: in Spark 4 the classic DataFrame
+    # overrides agg, so a base-class patch never intercepts (r12 found
+    # the agg spies in this suite were vacuous for exactly this reason)
+    monkeypatch.setattr(type(df), "agg", _no_agg)
     comp, rmaps = sort_ops._composite_key(
         df, ("score", "tb"), kcols, sample_keys, bounds
     )

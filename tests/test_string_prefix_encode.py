@@ -186,6 +186,128 @@ def test_wide_string_noninjective_window_declines(spark, monkeypatch):
     assert [r["tb"] for r in got] == expect
 
 
+def test_wide_string_trivial_injectivity_skips_countdistinct(spark):
+    """When every value's bytes fit inside the window (max octet_length
+    ≤ skip + k) and none ends with a NUL byte, the window IS the whole
+    tail and injectivity is automatic — the exact countDistinct job must
+    NOT run (it was the dominant pack tax: ~90 s per 200M rows in the
+    r12 probe). The doc-id/name shapes the pack exists for all take this
+    path. Asserted with an agg spy: job A (min/max + octet/nul facts)
+    runs, nothing countDistinct-shaped ever does."""
+    from pyspark.sql import DataFrame
+
+    n = 600
+    rows = [
+        (f"seg{(i * 13) % 5}", f"Customer#{(i * 48271) % 100000:09d}", i)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "seg string, name string, tb long")
+    kcols = [F.col("seg"), F.col("name"), F.col("tb")]
+    sample_keys = [tuple(r) for r in rows[:300]]
+    bounds = [tuple(rows[50]), tuple(rows[100])]
+
+    calls: list = []
+    orig_agg = type(df).agg
+
+    def spy_agg(self, *a, **kw):
+        calls.append([str(c) for c in a])
+        return orig_agg(self, *a, **kw)
+
+    import unittest.mock as mock
+
+    info: dict = {}
+    with mock.patch.object(type(df), "agg", spy_agg):
+        comp, rmaps = sort_ops._composite_key(
+            df, ("seg", "name", "tb"), kcols, sample_keys, bounds, info=info
+        )
+    assert comp is not None
+    assert info.get("wstr_packed_fields") == [1], info
+    assert info.get("wstr_trivial_fields") == [1], info
+    flat = [s for call in calls for s in call]
+    assert calls, "job A must have run"
+    assert not any("count" in s.lower() for s in flat), flat
+
+
+def test_wide_string_nul_tail_refuses_shortcut_and_declines(spark):
+    """The one case the trivial shortcut would get WRONG: a value that
+    extends another with trailing NUL bytes ties in every padded window
+    while the strings are distinct. The NUL flag must refuse the
+    shortcut, and the exact countDistinct job must then catch the
+    non-injectivity and decline — positions stay exact via the struct
+    path. (In UTF-8 the byte 0x00 only encodes U+0000, so flagging the
+    last CHARACTER is equivalent to flagging the last byte.)"""
+    n = 426  # 71 distinct names x 6
+    names = [f"doc_{i:02d}" for i in range(70)] + ["doc_00\x00"]
+    rows = [(names[i % 71], i) for i in range(n)]
+    df = spark.createDataFrame(rows, "name string, tb long")
+    kcols = [F.col("name"), F.col("tb")]
+    # keep the colliding pair OUT of the sample so the free pre-check
+    # cannot decline first — the exact job must do it
+    sample_keys = [(f"doc_{i:02d}", i) for i in range(3, 40)]
+    bounds = [("doc_10", 10)]
+
+    info: dict = {}
+    comp, rmaps = sort_ops._composite_key(
+        df, ("name", "tb"), kcols, sample_keys, bounds, info=info
+    )
+    assert comp is None, info
+    # end-to-end positions stay exact on the declined path
+    import unittest.mock as mock
+
+    stats: dict = {}
+    with mock.patch.object(sort_ops, "GP_SAMPLE_MOD", 2), mock.patch.object(
+        sort_ops, "GP_COMPOSITE_MIN_ROWS", 0
+    ):
+        got = (
+            sort_ops.with_global_position(df, "name", "tb", stats=stats)
+            .orderBy("global_pos")
+            .select("tb")
+            .collect()
+        )
+    assert stats["composite_key"] is False
+    expect = [
+        r["tb"] for r in df.orderBy(F.col("name").asc(), F.col("tb").asc()).collect()
+    ]
+    assert [r["tb"] for r in got] == expect
+
+
+def test_wide_string_long_tail_passes_exact_injectivity(spark):
+    """Tails longer than the window (shortcut unavailable) but injective
+    WITHIN it: the exact countDistinct job must run, pass, and pack —
+    wstr_packed_fields set, wstr_trivial_fields empty."""
+    from pyspark.sql import DataFrame
+
+    n = 500
+    rows = [
+        (f"doc_{(i * 48271) % 9000:04d}/constant-long-suffix", i)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "name string, tb long")
+    kcols = [F.col("name"), F.col("tb")]
+    sample_keys = [tuple(r) for r in rows[:200]]
+    bounds = [tuple(rows[50])]
+
+    calls: list = []
+    orig_agg = type(df).agg
+
+    def spy_agg(self, *a, **kw):
+        calls.append([str(c) for c in a])
+        return orig_agg(self, *a, **kw)
+
+    import unittest.mock as mock
+
+    info: dict = {}
+    with mock.patch.object(type(df), "agg", spy_agg):
+        comp, rmaps = sort_ops._composite_key(
+            df, ("name", "tb"), kcols, sample_keys, bounds, info=info
+        )
+    assert comp is not None
+    assert info.get("wstr_packed_fields") == [0], info
+    assert info.get("wstr_trivial_fields") == [], info
+    flat = [s for call in calls for s in call]
+    assert any("count" in s.lower() for s in flat), "job C should have run"
+
+
 def test_wide_string_singleton_skips_injectivity_job(spark):
     """A wstr field whose neighbors cannot share a budget ends a
     singleton — the exact countDistinct injectivity job must NOT run
@@ -207,7 +329,7 @@ def test_wide_string_singleton_skips_injectivity_job(spark):
     bounds = [tuple(rows[50]), tuple(rows[100])]
 
     calls: list = []
-    orig_agg = DataFrame.agg
+    orig_agg = type(df).agg
 
     def spy_agg(self, *a, **kw):
         calls.append([str(c) for c in a])
@@ -215,7 +337,7 @@ def test_wide_string_singleton_skips_injectivity_job(spark):
 
     import unittest.mock as mock
 
-    with mock.patch.object(DataFrame, "agg", spy_agg):
+    with mock.patch.object(type(df), "agg", spy_agg):
         comp, rmaps = sort_ops._composite_key(
             df, ("s", "f", "tb"), kcols, sample_keys, bounds
         )
