@@ -658,6 +658,64 @@ def _composite_key(
     #      field actually lands in a ≥2 group — see the grouping loop.
     wstr_k: dict[int, tuple[int, int]] = {}  # idx -> (skip, nbytes)
     wstr_trivial: set[int] = set()  # proven injective without job C
+    wstr_meta: dict[int, tuple[str, str, int]] = {}  # idx -> (min, max, skip)
+    # idx -> why a job-A-paying wstr candidate did not pack ("width" /
+    # "sample_collision" / "injectivity"; "singleton" filled at info
+    # time) — surfaced via stats so a deployment where wide-string keys
+    # commonly DECLINE can quantify the job-A aggregates they still pay
+    # (r12 ADVICE item 3), and so the decline-path verifier can assert
+    # the exact gate that fired rather than just the absence of a pack.
+    wstr_decline: dict[int, str] = {}
+
+    def _wstr_select(i: int, nbr: list[int]) -> bool:
+        """Pick the WIDEST window k ≤ 7 whose exact width can share a
+        63-bit budget with some neighbor width in ``nbr`` (injectivity
+        is monotone in k: if the widest affordable window collides,
+        every narrower one does too — one k is the optimal single
+        test), run the free sample-collision pre-check, and (re)derive
+        the field's encode state. On failure records the decline
+        reason and demotes the field. Called once per candidate with
+        optimistic neighbor widths, then again from the grouping loop
+        with REALIZED widths when optimism stranded the field as a
+        singleton (r12 ADVICE item 1) — realized widths only tighten
+        the budget, so a re-selection never widens k."""
+        smin, smax, skip = wstr_meta[i]
+        chosen = None
+        for k in range(7, 0, -1):
+            s_k = string_prefix_order_long_py(smax, skip, k) - (
+                string_prefix_order_long_py(smin, skip, k)
+            )
+            w = max(1, (s_k + 1).bit_length())
+            if w < 63 and any(w + wn <= 63 for wn in nbr):
+                chosen = (k, s_k)
+                break
+        if chosen is None:
+            packable[i] = False
+            wstr_k.pop(i, None)
+            wstr_trivial.discard(i)
+            wstr_decline[i] = "width"
+            return False
+        k, s_k = chosen
+        svals = {t[i] for t in sample_keys if t[i] is not None}
+        if len({string_prefix_order_long_py(v, skip, k) for v in svals}) != len(
+            svals
+        ):
+            packable[i] = False  # proven non-injective, for free
+            wstr_k.pop(i, None)
+            wstr_trivial.discard(i)
+            wstr_decline[i] = "sample_collision"
+            return False
+        wstr_k[i] = (skip, k)
+        if int(agg_row[f"slen{i}"]) <= skip + k and not agg_row[f"snul{i}"]:
+            wstr_trivial.add(i)
+        else:
+            wstr_trivial.discard(i)
+        lo[i] = string_prefix_order_long_py(smin, skip, k)
+        span[i] = s_k
+        enc[i] = string_prefix_order_long(kcols[i], skip, k)
+        wstr_decline.pop(i, None)
+        return True
+
     for i in wstr_idx:
         smin, smax = agg_row[f"slo{i}"], agg_row[f"shi{i}"]
         if smin is None:  # all-null field: code is always 0
@@ -671,11 +729,16 @@ def _composite_key(
             if x != y:
                 break
             skip += 1
+        wstr_meta[i] = (str(smin), str(smax), skip)
 
         def _neighbor_w(j: int) -> int | None:
             # exact width where known; optimistic 1 for a not-yet-chosen
-            # wstr neighbor (greedy grouping re-checks with real widths,
-            # so optimism here can only cost a wasted injectivity test)
+            # wstr neighbor. Optimism can lock in an over-wide window k
+            # for THIS field — if the neighbor's realized width later
+            # cannot share the budget, the grouping loop below re-runs
+            # the selection with realized widths (r12 ADVICE item 1), so
+            # the residual cost is one wasted injectivity test, never a
+            # silently missed pack on adjacent wstr-wstr keys.
             if not (0 <= j < len(keys)) or not packable[j]:
                 return None
             if j in lo:
@@ -691,45 +754,21 @@ def _composite_key(
                 return max(1, mc.bit_length())
             return None
         nbr = [w for w in (_neighbor_w(i - 1), _neighbor_w(i + 1)) if w]
-        chosen = None
-        for k in range(7, 0, -1):
-            s_k = string_prefix_order_long_py(smax, skip, k) - (
-                string_prefix_order_long_py(smin, skip, k)
-            )
-            w = max(1, (s_k + 1).bit_length())
-            if w < 63 and any(w + wn <= 63 for wn in nbr):
-                chosen = (k, s_k, w)
-                break
-        if chosen is None:
-            packable[i] = False
-            continue
-        k, s_k, _w = chosen
-        svals = {t[i] for t in sample_keys if t[i] is not None}
-        if len({string_prefix_order_long_py(v, skip, k) for v in svals}) != len(
-            svals
-        ):
-            packable[i] = False  # proven non-injective, for free
-            continue
-        wstr_k[i] = (skip, k)
-        if int(agg_row[f"slen{i}"]) <= skip + k and not agg_row[f"snul{i}"]:
-            wstr_trivial.add(i)
-        lo[i] = string_prefix_order_long_py(smin, skip, k)
-        span[i] = s_k
-        enc[i] = string_prefix_order_long(kcols[i], skip, k)
+        _wstr_select(i, nbr)
     # per-field code widths; None = unpackable (by kind, domain, or an
     # individual width that could never share a 63-bit long)
-    widths: list[int | None] = []
-    for i in range(len(keys)):
+    def _width(i: int) -> int | None:
         if not packable[i]:
-            widths.append(None)
-            continue
+            return None
         if i in lo:
             # floats reserve one extra top code for NaN (span+2)
             max_code = span[i] + (2 if i in flt_idx else 1)
         else:
             max_code = len(rmaps.get(i, ()))
         w = max(1, max_code.bit_length())
-        widths.append(w if w < 63 else None)
+        return w if w < 63 else None
+
+    widths: list[int | None] = [_width(i) for i in range(len(keys))]
     # greedy left-to-right grouping under the 63-bit budget — optimal
     # for minimizing contiguous group count
     def _greedy(ws: list) -> list[list[int]]:
@@ -766,6 +805,7 @@ def _composite_key(
     # re-checks any wstr newly pulled into a group (≤ |wstr fields|
     # rounds, each round one job).
     checked: set[int] = set(wstr_trivial)  # shortcut fields never need job C
+    retried: set[int] = set()  # one realized-width re-selection per field
     while True:
         fgroups = _greedy(widths)
         need = [
@@ -775,28 +815,117 @@ def _composite_key(
             for i in g
             if i in wstr_k and i not in checked
         ]
-        if not need:
-            break
-        cd_row = df.agg(
-            *[
-                a
-                for i in need
-                for a in (
-                    F.countDistinct(kcols[i]).alias(f"cd{i}"),
-                    F.countDistinct(enc[i]).alias(f"ce{i}"),
-                )
+        if need:
+            cd_row = df.agg(
+                *[
+                    a
+                    for i in need
+                    for a in (
+                        F.countDistinct(kcols[i]).alias(f"cd{i}"),
+                        F.countDistinct(enc[i]).alias(f"ce{i}"),
+                    )
+                ]
+            ).collect()[0]
+            for i in need:
+                checked.add(i)
+                if cd_row[f"cd{i}"] != cd_row[f"ce{i}"]:
+                    packable[i] = False
+                    widths[i] = None
+                    del wstr_k[i]
+                    wstr_trivial.discard(i)
+                    wstr_decline[i] = "injectivity"
+            continue  # regroup: a demotion can re-pair its neighbors
+        # Realized-width retry (r12 ADVICE item 1): the initial window
+        # selection saw optimistic width 1 for any not-yet-chosen wstr
+        # neighbor, which can lock in an over-wide k for the LEFT field;
+        # when the neighbor's realized width then can't share the 63-bit
+        # budget the field strands as a singleton even though a NARROWER
+        # (possibly still injective) window would have grouped. Re-run
+        # the selection once per stranded field with realized neighbor
+        # widths — driver-side arithmetic plus the free sample pre-check;
+        # only a genuinely re-windowed field re-enters the exact
+        # injectivity gate (narrower windows discriminate LESS, so the
+        # previous pass's proof does not transfer).
+        retry = None
+        for g in fgroups:
+            if len(g) != 1:
+                continue
+            i = g[0]
+            if i not in wstr_k or i in retried:
+                continue
+            nbr_real = [
+                widths[j]
+                for j in (i - 1, i + 1)
+                if 0 <= j < len(keys) and widths[j] is not None
             ]
-        ).collect()[0]
-        clean = True
-        for i in need:
-            checked.add(i)
-            if cd_row[f"cd{i}"] != cd_row[f"ce{i}"]:
-                packable[i] = False
-                widths[i] = None
-                del wstr_k[i]
-                clean = False
-        if clean:
+            # A wstr neighbor that declined on WIDTH or on a sample
+            # collision is not necessarily dead: it was sized against
+            # THIS field's over-wide optimistic window, and a narrower
+            # re-window here frees budget for a wider, still-injective
+            # window there (sample-injectivity is MONOTONE in k —
+            # distinct k-byte windows stay distinct when extended — so
+            # the smallest sample-clean k lower-bounds every viable
+            # window). Offer that minimal viable width as the budget
+            # target and revive the neighbor after this field
+            # re-windows. Exact-injectivity declines stay dead: reviving
+            # them would re-pay the countDistinct job on a guess.
+            revive = []
+            for j in (i - 1, i + 1):
+                if not (
+                    0 <= j < len(keys)
+                    and j not in retried
+                    and wstr_decline.get(j) in ("width", "sample_collision")
+                    and j in wstr_meta
+                ):
+                    continue
+                smin_j, smax_j, skip_j = wstr_meta[j]
+                svals_j = {t[j] for t in sample_keys if t[j] is not None}
+                for kj in range(1, 8):
+                    s_kj = string_prefix_order_long_py(smax_j, skip_j, kj) - (
+                        string_prefix_order_long_py(smin_j, skip_j, kj)
+                    )
+                    w_kj = max(1, (s_kj + 1).bit_length())
+                    if w_kj >= 63:
+                        break
+                    if len(
+                        {
+                            string_prefix_order_long_py(v, skip_j, kj)
+                            for v in svals_j
+                        }
+                    ) == len(svals_j):
+                        revive.append(j)
+                        nbr_real.append(w_kj)
+                        break
+            if nbr_real:
+                retry = (i, nbr_real, revive)
+                break
+        if retry is None:
             break
+        i, nbr_real, revive = retry
+        retried.add(i)
+        old = wstr_k[i]
+        ok = _wstr_select(i, nbr_real)
+        widths[i] = _width(i)
+        if ok and wstr_k[i] != old:
+            checked.discard(i)
+            if i in wstr_trivial:
+                checked.add(i)
+        if ok and widths[i] is not None:
+            for j in revive:
+                retried.add(j)
+                packable[j] = True
+                _wstr_select(j, [widths[i]])
+                widths[j] = _width(j)
+    if info is not None and wstr_meta:
+        # decline accounting (r12 ADVICE item 3): every wstr_meta field
+        # paid job A's min/max + octet/NUL aggregates; the ones that end
+        # unpacked are that cost with no pack to show for it
+        packed_w = {i for g in fgroups if len(g) >= 2 for i in g if i in wstr_k}
+        for i in wstr_meta:
+            if i not in packed_w and i not in wstr_decline:
+                wstr_decline[i] = "singleton"
+        info["wstr_candidate_fields"] = sorted(wstr_meta)
+        info["wstr_declined"] = {i: wstr_decline[i] for i in sorted(wstr_decline)}
     if max(len(g) for g in fgroups) < 2:
         return None, rmaps
     if info is not None:

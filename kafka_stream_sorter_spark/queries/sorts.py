@@ -232,6 +232,57 @@ def keyed_fanout_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "keyed_fanout_url",
+    oracle="""
+    SELECT event_id,
+           row_number() OVER (
+             ORDER BY event_type NULLS FIRST,
+                      'https://cdn.example.com/g' || CAST(user_id % 4 AS VARCHAR)
+                        || '/assets/img-' || CAST(event_id AS VARCHAR) || '.png'
+                      NULLS FIRST,
+                      event_id NULLS FIRST
+           ) AS pos
+    FROM events
+    """,
+)
+def keyed_fanout_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positioned fanout keyed by a URL-style string that must DECLINE
+    the wide-string prefix pack (r12 verdict, What's-missing item 3):
+    the three packing fanout shapes (_ts/_score/_name) oracle-pin only
+    PACK paths, leaving the sample-collision decline and its struct
+    fallback test-pinned but oracle-invisible. This shape closes that:
+    every url shares the scheme+host prefix, the next window bytes are
+    a 4-way group digit followed by the constant '/assets' run, so two
+    sampled urls in the same group tie inside every affordable window
+    and the FREE sample-collision pre-check declines the field
+    (operators/sort.py `_wstr_select`) — the 5.5-9.6× struct fallback
+    itself is then what the driver's oracle attests, ×4 partition
+    configs via the exact gate. scripts/verify_gp_grouped_registered.py
+    additionally asserts the decline REASON on this shape with the gate
+    lowered, so a silent pack (or a silent wrong-reason decline) fails.
+    The reference sorts raw string keys the same way
+    (external_sort.go:368-398); ASCII-only data keeps Spark UTF8 binary
+    order == DuckDB. Output carries positions + ids only."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    keyed = events.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://cdn.example.com/g"),
+            (F.col("user_id") % 4).cast("string"),
+            F.lit("/assets/img-"),
+            F.col("event_id").cast("string"),
+            F.lit(".png"),
+        ),
+    )
+    pos_df = sort_ops.with_global_position(
+        keyed, "event_type", "url", "event_id"
+    )
+    return pos_df.select("event_id", F.col("global_pos").alias("pos"))
+
+
+@query(
     "topk",
     oracle="""
     SELECT event_id, user_id, value

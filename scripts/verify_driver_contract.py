@@ -132,12 +132,20 @@ def main() -> int:
         # exact-hash closing gate must also prove packed ≡ struct ≡
         # oracle — a sort.py change can't silently skip it. Runs for the
         # full sweep or when either fanout query is in the filter.
-        gp_names = {"keyed_fanout_ts", "keyed_fanout_score", "keyed_fanout_name"}
+        gp_names = {
+            "keyed_fanout_ts",
+            "keyed_fanout_score",
+            "keyed_fanout_name",
+            "keyed_fanout_url",
+        }
         if not failures and (not ONLY or ONLY & gp_names):
             import verify_gp_grouped_registered as gp
 
             print("\n--- gp-grouped packed-path verifier (chained) ---")
-            if gp.main(SF) != 0:
+            # a FILTERED exact run verifies only the fanout shapes it
+            # touched (r12 ADVICE item 2); the registry-wide closing
+            # gate (no filter) still sweeps every shape
+            if gp.main(SF, names=(ONLY & gp_names) if ONLY else None) != 0:
                 failures.append("gp_grouped_packed_paths")
         ok = "ALL MATCH (exact-hash" + (
             f", subset {len(ONLY)}/{len(qs)})" if ONLY else ")"

@@ -14,7 +14,13 @@ attests the struct-compare path:
     functions/numeric.double_order_long, id singleton);
   * keyed_fanout_name  — (c_mktsegment, c_name): the WIDE-STRING
     prefix pack (functions/numeric.string_prefix_order_long behind
-    the exact injectivity gate), both fields in one composite (r12).
+    the exact injectivity gate), both fields in one composite (r12);
+  * keyed_fanout_url   — (event_type, url, event_id): the DECLINE
+    path (r13, r12 verdict What's-missing item 3) — the URL-style
+    key must fail the free sample-collision pre-check and fall back
+    to the struct compare, asserted by REASON so a silent pack (or a
+    silent wrong-reason decline) fails; the fallback's positions are
+    proven against the registered oracle like the pack paths.
 
 This script closes the evidence gap WITHOUT touching the registered
 queries: each registered callable runs at the given sf (default sf0.1)
@@ -32,10 +38,12 @@ Usage:
 Also invoked IN-PROCESS by ``verify_driver_contract.py --exact`` (r11
 verdict item 5): the registry-wide closing gate chains this check
 automatically so a sort.py change can't silently skip the ≥20M packed
-plans of the two registered fanout queries. ``main(sf=...)`` reuses the
-caller's vanilla session via getOrCreate and restores nothing it didn't
-set (shuffle confs are re-pinned per config exactly like the exact-hash
-sweep itself).
+plans of the registered fanout queries. ``main(sf=..., names=...)``
+reuses the caller's vanilla session via getOrCreate and restores
+nothing it didn't set (shuffle confs are re-pinned per config exactly
+like the exact-hash sweep itself); ``names`` restricts the sweep to the
+fanout shapes a FILTERED --exact run actually touched (r12 ADVICE item
+2 — a single-query exact run no longer pays all shapes ×8).
 """
 
 from __future__ import annotations
@@ -72,14 +80,28 @@ def _keyed_frames(spark, sf):
     name_keyed = load_table(spark, sf, "customer").select(
         "c_custkey", "c_mktsegment", "c_name"
     )
+    url_keyed = (
+        ev.select("event_id", "event_type", "user_id")
+        .withColumn(
+            "url",
+            F.concat(
+                F.lit("https://cdn.example.com/g"),
+                (F.col("user_id") % 4).cast("string"),
+                F.lit("/assets/img-"),
+                F.col("event_id").cast("string"),
+                F.lit(".png"),
+            ),
+        )
+    )
     return {
         "keyed_fanout_ts": (ts_keyed, ("event_type", "ts", "wide_id")),
         "keyed_fanout_score": (score_keyed, ("event_type", "score", "event_id")),
         "keyed_fanout_name": (name_keyed, ("c_mktsegment", "c_name")),
+        "keyed_fanout_url": (url_keyed, ("event_type", "url", "event_id")),
     }
 
 
-def main(sf: str | None = None) -> int:
+def main(sf: str | None = None, names=None) -> int:
     from pyspark.sql import SparkSession
 
     from oracle_utils import duck_connect, value_hash
@@ -116,7 +138,13 @@ def main(sf: str | None = None) -> int:
         "keyed_fanout_score": 3,
         "keyed_fanout_name": 2,
     }
-    for name in ("keyed_fanout_ts", "keyed_fanout_score", "keyed_fanout_name"):
+    # the decline shape: the composite must NOT engage, for the right
+    # reason, and the struct fallback must still match the oracle
+    decline_shapes = {"keyed_fanout_url": {1: "sample_collision"}}
+    shapes = list(raw_fields) + list(decline_shapes)
+    if names is not None:
+        shapes = [n for n in shapes if n in set(names)]
+    for name in shapes:
         print(f"{name}:")
         q = qs[name]
         hashes: list[str] = []
@@ -157,6 +185,23 @@ def main(sf: str | None = None) -> int:
             failures.append(
                 f"{name}: spark hash {hashes[0][:12]} != oracle {oh[:12]}"
             )
+        if name in decline_shapes:
+            # the mirror of the pack assertions: a silent PACK — or a
+            # decline at any gate other than the free sample-collision
+            # pre-check — fails
+            if stats.get("composite_key") is not False:
+                failures.append(f"{name}: decline shape engaged a composite")
+            if stats.get("wstr_packed_fields"):
+                failures.append(
+                    f"{name}: wide-string pack engaged on a decline shape "
+                    f"(wstr_packed_fields={stats.get('wstr_packed_fields')})"
+                )
+            if stats.get("wstr_declined") != decline_shapes[name]:
+                failures.append(
+                    f"{name}: expected decline {decline_shapes[name]}, got "
+                    f"{stats.get('wstr_declined')}"
+                )
+            continue
         if stats.get("composite_key") is not True:
             failures.append(f"{name}: lowered gate did not engage the composite")
         # The grouping is SCALE-DEPENDENT by design: at sf0.1 the 3-field
@@ -182,8 +227,8 @@ def main(sf: str | None = None) -> int:
         print("\nFAIL: " + "; ".join(failures))
         return 1
     print(
-        f"\nALL MATCH: packed paths ≡ struct-compare ≡ oracle on all "
-        f"{len(raw_fields)} registered fanout shapes at {sf} (×8 runs each)"
+        f"\nALL MATCH: packed/declined paths ≡ struct-compare ≡ oracle on "
+        f"{len(shapes)} registered fanout shapes at {sf} (×8 runs each)"
     )
     return 0
 

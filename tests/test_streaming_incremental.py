@@ -172,6 +172,55 @@ def test_stream_topk_across_batches_is_exact(spark, sf_dir, split_events_dir):
     assert [r.event_id for r in got.collect()] == [r.event_id for r in expected.collect()]
 
 
+def test_stream_topk_later_batches_evict_earlier_members(
+    spark, sf_dir, split_events_dir
+):
+    """The cross-batch RE-RANK itself (r12 verdict stretch item 6): the
+    exactness test above could pass even if one batch happened to hold
+    the entire global top-k — in which case no cross-batch eviction was
+    ever exercised. Here every micro-batch's LOCAL top-k must lose at
+    least one member to a competing batch (eviction genuinely happened,
+    in both directions: early members beaten by later batches and vice
+    versa) while every batch still lands at least one member, and the
+    contributions partition the final k exactly (files are disjoint by
+    event_id, and the final top-k is a subset of the union of local
+    top-ks — drain_topk's state-bounding invariant)."""
+    import glob as _glob
+
+    from kafka_stream_sorter_spark.streaming.ops import drain_topk
+
+    k = 100
+    order = [F.col("value").desc(), F.col("event_id").asc()]
+    final_ids = {
+        r["event_id"]
+        for r in drain_topk(
+            _stream(spark, split_events_dir).select("event_id", "value"),
+            k,
+            order,
+            id_cols=["event_id"],
+        ).collect()
+    }
+    assert len(final_ids) == k
+    parts = sorted(_glob.glob(split_events_dir + "/part-*.parquet"))
+    assert len(parts) >= 4  # one file per micro-batch is the premise
+    contributions = []
+    for p in parts:
+        local = {
+            r["event_id"]
+            for r in spark.read.parquet(p)
+            .select("event_id", "value")
+            .orderBy(*order)
+            .limit(k)
+            .collect()
+        }
+        kept = len(local & final_ids)
+        # each batch contributes something AND has members evicted by
+        # the other batches' candidates — strict cross-batch re-ranking
+        assert 0 < kept < k, (p, kept)
+        contributions.append(kept)
+    assert sum(contributions) == k, contributions
+
+
 def test_sorted_drain_across_batches_is_totally_ordered(spark, sf_dir, split_events_dir):
     """drain_sorted over 4 micro-batches: per-batch runs OVERLAP in key
     range (files split by event_id, sorted by event_id — but batches

@@ -182,6 +182,10 @@ def test_wide_string_noninjective_window_declines(spark, monkeypatch):
         .collect()
     )
     assert stats.get("wstr_packed_fields") in (None, []), stats
+    # decline accounting (r12 ADVICE item 3): the candidate paid job A
+    # and the free sample pre-check is what declined it
+    assert stats.get("wstr_candidate_fields") == [0], stats
+    assert stats.get("wstr_declined") == {0: "sample_collision"}, stats
     expect = [r["tb"] for r in df.orderBy(F.col("u").asc(), F.col("tb").asc()).collect()]
     assert [r["tb"] for r in got] == expect
 
@@ -343,3 +347,61 @@ def test_wide_string_singleton_skips_injectivity_job(spark):
         )
     flat = [s for call in calls for s in call]
     assert not any("count" in s.lower() for s in flat), flat
+
+
+def test_wide_string_adjacent_pair_realized_width_retry(spark, monkeypatch):
+    """Adjacent wstr-wstr keys, the shape optimistic neighbor sizing
+    mis-sizes (r12 ADVICE item 1): the LEFT field locks the widest
+    window against an optimistic width-1 neighbor, the RIGHT field then
+    can't share the 63-bit budget except at a sample-colliding k=1 and
+    declines — pre-retry this silently missed a feasible pack. The
+    grouping loop must re-run the selection with REALIZED widths: left
+    narrows (still injective), right revives at its minimal
+    sample-clean window, both pass the exact injectivity job, and the
+    pair packs with positions bit-identical to Spark's struct order."""
+    n = 900
+    rows_wide = []
+    for i in range(n):
+        # left: 5 varying digits + constant "00" tail — k=7 spans ~52
+        # bits, k=5 spans ~36 and is injective by construction
+        a = f"A{(i * 2654435761) % 100000:05d}00"
+        # right: 3 varying digits + constant "0000" tail — k=7 spans
+        # ~52 bits, k=3 spans ~20 and is injective; k=1 collides
+        b = f"B{(i * 48271) % 1000:03d}0000"
+        # tb is NOT offered a shared budget: a ~62-bit id span keeps the
+        # wstr pair as the only viable group
+        rows_wide.append((a, b, ((i * 2654435761) % (1 << 30)) << 32))
+    df = spark.createDataFrame(rows_wide, "a string, b string, tb long")
+    kcols = [F.col("a"), F.col("b"), F.col("tb")]
+    sample_keys = [tuple(r) for r in rows_wide[:80]]
+    bounds = [tuple(rows_wide[200]), tuple(rows_wide[500])]
+
+    info: dict = {}
+    comp, rmaps = sort_ops._composite_key(
+        df, ("a", "b", "tb"), kcols, sample_keys, bounds, info=info
+    )
+    assert comp is not None, info
+    assert info.get("wstr_packed_fields") == [0, 1], info
+    # realized-width retry narrowed the left window and revived the
+    # right at its minimal sample-clean window
+    assert info["wstr_windows"][0] == (1, 5), info
+    assert info["wstr_windows"][1] == (1, 3), info
+    assert info.get("wstr_declined") in (None, {}), info
+    # end-to-end: positions must equal Spark's struct order exactly
+    monkeypatch.setattr(sort_ops, "GP_SAMPLE_MOD", 4)
+    monkeypatch.setattr(sort_ops, "GP_COMPOSITE_MIN_ROWS", 0)
+    stats: dict = {}
+    got = (
+        sort_ops.with_global_position(df, "a", "b", "tb", stats=stats)
+        .orderBy("global_pos")
+        .select("tb")
+        .collect()
+    )
+    assert stats.get("wstr_packed_fields") == [0, 1], stats
+    expect = [
+        r["tb"]
+        for r in df.orderBy(
+            F.col("a").asc(), F.col("b").asc(), F.col("tb").asc()
+        ).collect()
+    ]
+    assert [r["tb"] for r in got] == expect
