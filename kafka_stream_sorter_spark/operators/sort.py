@@ -655,7 +655,15 @@ def _composite_key(
     #      take this path and never pay a countDistinct;
     #   5. otherwise the exact injectivity job (countDistinct(raw) ==
     #      countDistinct(encode)) is DEFERRED until grouping proves the
-    #      field actually lands in a ≥2 group — see the grouping loop.
+    #      field actually lands in a ≥2 group — see the grouping loop;
+    #   6. a REALIZED-WIDTH retry (r13, r12 ADVICE item 1): when the
+    #      optimistic initial selection strands a chosen field as a
+    #      singleton — or width-/sample-declines its wstr neighbor — the
+    #      grouping loop re-runs the selection once per field with the
+    #      neighbors' realized widths (driver-side arithmetic plus the
+    #      free sample pre-check; only a genuinely re-windowed field
+    #      re-enters the exact injectivity gate), so adjacent wstr-wstr
+    #      keys pack instead of silently falling back.
     wstr_k: dict[int, tuple[int, int]] = {}  # idx -> (skip, nbytes)
     wstr_trivial: set[int] = set()  # proven injective without job C
     wstr_meta: dict[int, tuple[str, str, int]] = {}  # idx -> (min, max, skip)
