@@ -943,3 +943,96 @@ def test_with_global_position_timestamp_dst_driver_tz(spark, monkeypatch):
         (r["us"], r["tb"]) for r in got
     )
     assert [r["global_pos"] for r in got] == list(range(1, n + 1))
+
+
+def test_with_global_position_random_multitype_property(spark, monkeypatch):
+    """Seeded property sweep over random key shapes (2-4 fields drawn
+    from narrow/wide ints, floats with NaN/-0.0/nulls, low-card strings,
+    doc-id and URL-style wide strings, timestamps) with the composite
+    gate lowered: positions must equal row_number over Spark's own
+    orderBy for EVERY shape, whatever mix of pack / retry / revive /
+    decline the machinery picks. This is the blanket over path
+    interactions the shape-specific tests can't enumerate — in
+    particular random ADJACENT wstr-wstr pairs exercising the r13
+    realized-width retry, and wstr fields beside ints/floats that force
+    partial groups. The per-shape fast paths are bit-order-isomorphic
+    by design, so exact equality is the correct oracle."""
+    import datetime
+    import random
+
+    from kafka_stream_sorter_spark.operators import sort as sort_ops
+
+    monkeypatch.setattr(sort_ops, "GP_SAMPLE_MOD", 2)
+    monkeypatch.setattr(sort_ops, "GP_COMPOSITE_MIN_ROWS", 0)
+
+    def gen(kind, rng):
+        if rng.random() < 0.04:
+            return None
+        if kind == "int_narrow":
+            return rng.randrange(0, 40)
+        if kind == "int_wide":
+            return rng.randrange(-(1 << 60), 1 << 60)
+        if kind == "float":
+            r = rng.random()
+            if r < 0.05:
+                return float("nan")
+            if r < 0.10:
+                return -0.0
+            return round(256.0 + rng.randrange(0, 500) / 1024.0, 6)
+        if kind == "str_low":
+            return f"t{rng.randrange(6)}"
+        if kind == "wstr_doc":
+            return f"doc_{rng.randrange(10**4):04d}"
+        if kind == "wstr_doc_wide":
+            return f"Customer#{rng.randrange(10**9):09d}"
+        if kind == "wstr_url":
+            return (
+                f"https://example.com/{rng.randrange(3)}/p/"
+                f"{rng.randrange(10**12):018d}"
+            )
+        if kind == "ts":
+            return datetime.datetime(2021, 3, 1) + datetime.timedelta(
+                seconds=rng.randrange(0, 10**7)
+            )
+        raise AssertionError(kind)
+
+    spark_type = {
+        "int_narrow": "long",
+        "int_wide": "long",
+        "float": "double",
+        "str_low": "string",
+        "wstr_doc": "string",
+        "wstr_doc_wide": "string",
+        "wstr_url": "string",
+        "ts": "timestamp",
+    }
+    kinds_pool = list(spark_type)
+    for seed in range(8):
+        rng = random.Random(9000 + seed)
+        n_keys = rng.randrange(2, 5)
+        kinds = [rng.choice(kinds_pool) for _ in range(n_keys)]
+        n = 1800
+        rows = [
+            tuple(gen(k, rng) for k in kinds) + (i,) for i in range(n)
+        ]
+        names = [f"k{j}" for j in range(n_keys)]
+        schema = ", ".join(
+            f"{nm} {spark_type[kd]}" for nm, kd in zip(names, kinds)
+        ) + ", tb long"
+        df = spark.createDataFrame(rows, schema)
+        stats: dict = {}
+        got = {
+            r["tb"]: r["global_pos"]
+            for r in sort_ops.with_global_position(
+                df, *names, "tb", stats=stats
+            ).collect()
+        }
+        expect = [
+            r["tb"]
+            for r in df.orderBy(
+                *[F.col(nm).asc() for nm in names], F.col("tb").asc()
+            ).collect()
+        ]
+        assert len(got) == n, (seed, kinds, stats)
+        for pos, tb in enumerate(expect, start=1):
+            assert got[tb] == pos, (seed, kinds, pos, tb, got[tb], stats)
