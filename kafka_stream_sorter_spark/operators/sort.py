@@ -675,6 +675,29 @@ def _composite_key(
     # the exact gate that fired rather than just the absence of a pack.
     wstr_decline: dict[int, str] = {}
 
+    def _win_w(i: int, k: int) -> tuple[int, int]:
+        """(span, width) of field i's k-byte window — the ONE home of
+        the window-size arithmetic, shared by the initial selection,
+        the realized-width retry, and the neighbor revive scan so the
+        three can never diverge."""
+        smin, smax, skip = wstr_meta[i]
+        s_k = string_prefix_order_long_py(smax, skip, k) - (
+            string_prefix_order_long_py(smin, skip, k)
+        )
+        return s_k, max(1, (s_k + 1).bit_length())
+
+    def _sample_clean(i: int, k: int) -> bool:
+        """Free collision pre-check: the k-byte windows of the sampled
+        values must be pairwise distinct. MONOTONE in k — distinct
+        k-byte windows stay distinct when extended — which is what lets
+        the revive scan's smallest clean k lower-bound every viable
+        window."""
+        skip = wstr_meta[i][2]
+        svals = {t[i] for t in sample_keys if t[i] is not None}
+        return len(
+            {string_prefix_order_long_py(v, skip, k) for v in svals}
+        ) == len(svals)
+
     def _wstr_select(i: int, nbr: list[int]) -> bool:
         """Pick the WIDEST window k ≤ 7 whose exact width can share a
         63-bit budget with some neighbor width in ``nbr`` (injectivity
@@ -690,10 +713,7 @@ def _composite_key(
         smin, smax, skip = wstr_meta[i]
         chosen = None
         for k in range(7, 0, -1):
-            s_k = string_prefix_order_long_py(smax, skip, k) - (
-                string_prefix_order_long_py(smin, skip, k)
-            )
-            w = max(1, (s_k + 1).bit_length())
+            s_k, w = _win_w(i, k)
             if w < 63 and any(w + wn <= 63 for wn in nbr):
                 chosen = (k, s_k)
                 break
@@ -704,10 +724,7 @@ def _composite_key(
             wstr_decline[i] = "width"
             return False
         k, s_k = chosen
-        svals = {t[i] for t in sample_keys if t[i] is not None}
-        if len({string_prefix_order_long_py(v, skip, k) for v in svals}) != len(
-            svals
-        ):
+        if not _sample_clean(i, k):
             packable[i] = False  # proven non-injective, for free
             wstr_k.pop(i, None)
             wstr_trivial.discard(i)
@@ -886,21 +903,11 @@ def _composite_key(
                     and j in wstr_meta
                 ):
                     continue
-                smin_j, smax_j, skip_j = wstr_meta[j]
-                svals_j = {t[j] for t in sample_keys if t[j] is not None}
                 for kj in range(1, 8):
-                    s_kj = string_prefix_order_long_py(smax_j, skip_j, kj) - (
-                        string_prefix_order_long_py(smin_j, skip_j, kj)
-                    )
-                    w_kj = max(1, (s_kj + 1).bit_length())
+                    _s, w_kj = _win_w(j, kj)
                     if w_kj >= 63:
                         break
-                    if len(
-                        {
-                            string_prefix_order_long_py(v, skip_j, kj)
-                            for v in svals_j
-                        }
-                    ) == len(svals_j):
+                    if _sample_clean(j, kj):
                         revive.append(j)
                         nbr_real.append(w_kj)
                         break
@@ -912,18 +919,35 @@ def _composite_key(
         i, nbr_real, revive = retry
         retried.add(i)
         old = wstr_k[i]
-        ok = _wstr_select(i, nbr_real)
+        snap = (lo[i], span[i], enc[i], i in wstr_trivial)
+        if not _wstr_select(i, nbr_real):
+            # the retry is exploratory: a failed re-selection must not
+            # demote a field whose ORIGINAL window is valid — restore it
+            # (it simply stays a singleton; recording the re-selection's
+            # gate as a decline reason would miscount the accounting)
+            packable[i] = True
+            wstr_k[i] = old
+            lo[i], span[i], enc[i] = snap[:3]
+            if snap[3]:
+                wstr_trivial.add(i)
+            wstr_decline.pop(i, None)
+            widths[i] = _width(i)
+            continue
         widths[i] = _width(i)
-        if ok and wstr_k[i] != old:
+        if wstr_k[i] != old:
             checked.discard(i)
             if i in wstr_trivial:
                 checked.add(i)
-        if ok and widths[i] is not None:
-            for j in revive:
-                retried.add(j)
-                packable[j] = True
-                _wstr_select(j, [widths[i]])
-                widths[j] = _width(j)
+        for j in revive:
+            retried.add(j)
+            packable[j] = True
+            if _wstr_select(j, [widths[i]]) and j in wstr_trivial:
+                # a revived field landing a trivially-injective window
+                # is proven like any initial shortcut field — without
+                # this it would re-enter `need` and pay the exact
+                # countDistinct the shortcut exists to skip
+                checked.add(j)
+            widths[j] = _width(j)
     if info is not None and wstr_meta:
         # decline accounting (r12 ADVICE item 3): every wstr_meta field
         # paid job A's min/max + octet/NUL aggregates; the ones that end

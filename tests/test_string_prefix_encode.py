@@ -405,3 +405,81 @@ def test_wide_string_adjacent_pair_realized_width_retry(spark, monkeypatch):
         ).collect()
     ]
     assert [r["tb"] for r in got] == expect
+
+
+def test_revived_trivial_field_skips_injectivity_job(spark):
+    """A revived neighbor that lands a trivially-injective window (its
+    whole tail fits the window, no trailing NUL) is proven by
+    construction like any initial shortcut field — the exact
+    countDistinct job must run for the RE-WINDOWED left field only.
+    Pre-fix the revived field missed the `checked` bookkeeping and paid
+    the full-table agg the shortcut exists to skip."""
+    n = 900
+    rows = []
+    for i in range(n):
+        a = f"A{(i * 2654435761) % 100000:05d}00"  # 8B, not trivial at k=5
+        b = f"B{(i * 48271) % 1000:03d}"  # 4B: whole tail fits k=3 → trivial
+        rows.append((a, b, ((i * 2654435761) % (1 << 30)) << 32))
+    df = spark.createDataFrame(rows, "a string, b string, tb long")
+    kcols = [F.col("a"), F.col("b"), F.col("tb")]
+    sample_keys = [tuple(r) for r in rows[:400]]
+    bounds = [tuple(rows[200]), tuple(rows[500])]
+
+    calls: list = []
+    orig_agg = type(df).agg
+
+    def spy_agg(self, *ar, **kw):
+        calls.append([str(c) for c in ar])
+        return orig_agg(self, *ar, **kw)
+
+    import unittest.mock as mock
+
+    info: dict = {}
+    with mock.patch.object(type(df), "agg", spy_agg):
+        comp, rmaps = sort_ops._composite_key(
+            df, ("a", "b", "tb"), kcols, sample_keys, bounds, info=info
+        )
+    assert comp is not None, info
+    assert info.get("wstr_packed_fields") == [0, 1], info
+    assert info.get("wstr_trivial_fields") == [1], info
+    flat = [s for call in calls for s in call]
+    n_cd = sum(s.lower().count("count(") for s in flat)
+    # exactly ONE cd/ce pair — the re-windowed left field; the revived
+    # trivial right field must not appear in any countDistinct agg
+    assert n_cd == 2, (n_cd, flat)
+
+
+def test_failed_retry_restores_original_window_and_accounting(spark):
+    """A retry re-selection that fails (every narrower window collides
+    in the sample) must RESTORE the field's original, valid window and
+    leave no decline reason — the field was never declined, it merely
+    stayed a singleton. Pre-fix the exploratory failure demoted the
+    field and recorded the retry's gate ('sample_collision') in the
+    decline accounting, miscounting exactly what r12 ADVICE item 3
+    added the stats for."""
+    n = 900
+    rows = []
+    for i in range(n):
+        # x: 'A' + d1 + '00000' + d2 — 100 distinct values; k=7 covers
+        # the whole 7-byte tail (clean + trivial), every k ≤ 6 window
+        # collides across values sharing d1
+        x = f"A{i % 10}00000{(i // 10) % 10}"
+        z = f"Z{(i * 48271) % 1000:03d}0000"
+        rows.append((x, z, ((i * 2654435761) % (1 << 30)) << 32))
+    df = spark.createDataFrame(rows, "x string, z string, tb long")
+    kcols = [F.col("x"), F.col("z"), F.col("tb")]
+    sample_keys = [tuple(r) for r in rows[:400]]
+    bounds = [tuple(rows[200]), tuple(rows[500])]
+
+    info: dict = {}
+    comp, rmaps = sort_ops._composite_key(
+        df, ("x", "z", "tb"), kcols, sample_keys, bounds, info=info
+    )
+    # no pack can form: x's only budget-sharing windows collide, z's
+    # k=1 window collides, tb is 62 bits wide
+    assert comp is None, info
+    assert info.get("wstr_candidate_fields") == [0, 1], info
+    assert info.get("wstr_declined") == {
+        0: "singleton",
+        1: "sample_collision",
+    }, info
