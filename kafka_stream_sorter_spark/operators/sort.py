@@ -698,21 +698,31 @@ def _composite_key(
             {string_prefix_order_long_py(v, skip, k) for v in svals}
         ) == len(svals)
 
+    def _kcap(i: int) -> int:
+        """Widest USEFUL window for field i: every byte past the
+        longest value's end (max octet_length − skip, from job A) is a
+        0x00 pad for the WHOLE domain, so a wider window discriminates
+        identically while paying strictly more width — pure budget
+        waste that can strand a neighbor (r14; before this cap a
+        3-digit suffix billed 52 bits at k=7 instead of 20 at k=3).
+        Floor 1 keeps a constant domain (slen == skip) encodable."""
+        return max(1, min(7, int(agg_row[f"slen{i}"]) - wstr_meta[i][2]))
+
     def _wstr_select(i: int, nbr: list[int]) -> bool:
-        """Pick the WIDEST window k ≤ 7 whose exact width can share a
-        63-bit budget with some neighbor width in ``nbr`` (injectivity
-        is monotone in k: if the widest affordable window collides,
-        every narrower one does too — one k is the optimal single
-        test), run the free sample-collision pre-check, and (re)derive
-        the field's encode state. On failure records the decline
-        reason and demotes the field. Called once per candidate with
-        optimistic neighbor widths, then again from the grouping loop
-        with REALIZED widths when optimism stranded the field as a
+        """Pick the WIDEST window k ≤ _kcap(i) whose exact width can
+        share a 63-bit budget with some neighbor width in ``nbr``
+        (injectivity is monotone in k: if the widest affordable window
+        collides, every narrower one does too — one k is the optimal
+        single test), run the free sample-collision pre-check, and
+        (re)derive the field's encode state. On failure records the
+        decline reason and demotes the field. Called once per candidate
+        with optimistic neighbor widths, then again from the grouping
+        loop with REALIZED widths when optimism stranded the field as a
         singleton (r12 ADVICE item 1) — realized widths only tighten
         the budget, so a re-selection never widens k."""
         smin, smax, skip = wstr_meta[i]
         chosen = None
-        for k in range(7, 0, -1):
+        for k in range(_kcap(i), 0, -1):
             s_k, w = _win_w(i, k)
             if w < 63 and any(w + wn <= 63 for wn in nbr):
                 chosen = (k, s_k)
@@ -831,6 +841,12 @@ def _composite_key(
     # rounds, each round one job).
     checked: set[int] = set(wstr_trivial)  # shortcut fields never need job C
     retried: set[int] = set()  # one realized-width re-selection per field
+    retry_ok: set[int] = set()  # re-selections that actually re-windowed
+    revived: set[int] = set()  # declined neighbors revived into a pack
+    # pre-retry state of a re-windowed field: (wstr_k, lo, span, enc,
+    # trivial?, checked?) — consumed if the NARROWER exploratory window
+    # later fails the exact injectivity job (r13 ADVICE item 3)
+    retry_snap: dict[int, tuple] = {}
     while True:
         fgroups = _greedy(widths)
         need = [
@@ -854,11 +870,32 @@ def _composite_key(
             for i in need:
                 checked.add(i)
                 if cd_row[f"cd{i}"] != cd_row[f"ce{i}"]:
+                    rsnap = retry_snap.pop(i, None)
+                    if rsnap is not None:
+                        # r13 ADVICE item 3: the retry's NARROWER window
+                        # failing the exact gate says nothing against the
+                        # field's ORIGINAL (wider, still valid, possibly
+                        # already proven) window — restore it instead of
+                        # demoting; the field stays a singleton and the
+                        # accounting later reads 'singleton', not the
+                        # exploratory window's 'injectivity'.
+                        old_k, old_lo, old_span, old_enc, was_triv, was_chk = rsnap
+                        wstr_k[i] = old_k
+                        lo[i], span[i], enc[i] = old_lo, old_span, old_enc
+                        if was_triv:
+                            wstr_trivial.add(i)
+                        if not was_chk:
+                            checked.discard(i)
+                        wstr_decline.pop(i, None)
+                        retry_ok.discard(i)
+                        widths[i] = _width(i)
+                        continue
                     packable[i] = False
                     widths[i] = None
                     del wstr_k[i]
                     wstr_trivial.discard(i)
                     wstr_decline[i] = "injectivity"
+                    revived.discard(i)
             continue  # regroup: a demotion can re-pair its neighbors
         # Realized-width retry (r12 ADVICE item 1): the initial window
         # selection saw optimistic width 1 for any not-yet-chosen wstr
@@ -878,11 +915,33 @@ def _composite_key(
             i = g[0]
             if i not in wstr_k or i in retried:
                 continue
-            nbr_real = [
-                widths[j]
-                for j in (i - 1, i + 1)
-                if 0 <= j < len(keys) and widths[j] is not None
-            ]
+            # Realized budget partner per side (r13 ADVICE item 1): the
+            # retry's only gain is a LOWER group count, so a neighbor
+            # only counts if pairing with it can actually drop one. A
+            # LEFT neighbor absorbs i by extending its EXISTING group —
+            # the shareable width is that group's CUMULATIVE width, not
+            # the neighbor field's alone. A RIGHT neighbor pairs by
+            # re-forming a group at i, which EVICTS the tail of any
+            # ≥2 group it sits in (count unchanged) — so only right
+            # SINGLETONS qualify. Offering more than this could
+            # re-window i narrower (discarding its injectivity proof)
+            # for a grouping that can never pay. Either side is also
+            # skipped when even i's MINIMAL (1-byte) window can't share
+            # its budget.
+            min_w_i = _win_w(i, 1)[1]
+            group_of = {m: gg for gg in fgroups for m in gg}
+            nbr_real = []
+            for j in (i - 1, i + 1):
+                if not (0 <= j < len(keys)) or widths[j] is None:
+                    continue
+                if j == i - 1:
+                    wn = sum(widths[m] for m in group_of[j])
+                elif len(group_of[j]) == 1:
+                    wn = widths[j]
+                else:
+                    continue
+                if min_w_i + wn <= 63:
+                    nbr_real.append(wn)
             # A wstr neighbor that declined on WIDTH or on a sample
             # collision is not necessarily dead: it was sized against
             # THIS field's over-wide optimistic window, and a narrower
@@ -903,13 +962,14 @@ def _composite_key(
                     and j in wstr_meta
                 ):
                     continue
-                for kj in range(1, 8):
+                for kj in range(1, _kcap(j) + 1):
                     _s, w_kj = _win_w(j, kj)
                     if w_kj >= 63:
                         break
                     if _sample_clean(j, kj):
-                        revive.append(j)
-                        nbr_real.append(w_kj)
+                        if min_w_i + w_kj <= 63:
+                            revive.append(j)
+                            nbr_real.append(w_kj)
                         break
             if nbr_real:
                 retry = (i, nbr_real, revive)
@@ -919,7 +979,7 @@ def _composite_key(
         i, nbr_real, revive = retry
         retried.add(i)
         old = wstr_k[i]
-        snap = (lo[i], span[i], enc[i], i in wstr_trivial)
+        snap = (lo[i], span[i], enc[i], i in wstr_trivial, i in checked)
         if not _wstr_select(i, nbr_real):
             # the retry is exploratory: a failed re-selection must not
             # demote a field whose ORIGINAL window is valid — restore it
@@ -935,18 +995,34 @@ def _composite_key(
             continue
         widths[i] = _width(i)
         if wstr_k[i] != old:
+            retry_ok.add(i)
             checked.discard(i)
             if i in wstr_trivial:
                 checked.add(i)
+            else:
+                # arm the exact-gate rollback (r13 ADVICE item 3): if
+                # the narrower exploratory window fails injectivity the
+                # original state comes back instead of a demotion
+                retry_snap[i] = (old, *snap)
         for j in revive:
             retried.add(j)
             packable[j] = True
-            if _wstr_select(j, [widths[i]]) and j in wstr_trivial:
-                # a revived field landing a trivially-injective window
-                # is proven like any initial shortcut field — without
-                # this it would re-enter `need` and pay the exact
-                # countDistinct the shortcut exists to skip
-                checked.add(j)
+            prev_reason = wstr_decline.get(j)
+            if _wstr_select(j, [widths[i]]):
+                revived.add(j)
+                if j in wstr_trivial:
+                    # a revived field landing a trivially-injective window
+                    # is proven like any initial shortcut field — without
+                    # this it would re-enter `need` and pay the exact
+                    # countDistinct the shortcut exists to skip
+                    checked.add(j)
+            elif prev_reason is not None:
+                # the revive is exploratory too (r13 ADVICE item 2): a
+                # failed attempt under the tighter realized budget must
+                # not rewrite the ORIGINAL decline's reason (e.g.
+                # 'width' turning into 'sample_collision'), mirroring
+                # the retried-field restore above
+                wstr_decline[j] = prev_reason
             widths[j] = _width(j)
     if info is not None and wstr_meta:
         # decline accounting (r12 ADVICE item 3): every wstr_meta field
@@ -958,6 +1034,13 @@ def _composite_key(
                 wstr_decline[i] = "singleton"
         info["wstr_candidate_fields"] = sorted(wstr_meta)
         info["wstr_declined"] = {i: wstr_decline[i] for i in sorted(wstr_decline)}
+        # retry observability (r13 verdict item 5, the pack-path mirror
+        # of the decline reasons): fields the realized-width retry
+        # actually RE-WINDOWED (rollbacks excluded) and declined
+        # neighbors it revived into the pack — so the gp verifier can
+        # assert the retry fired instead of inferring it from widths
+        info["wstr_retried"] = sorted(retry_ok)
+        info["wstr_revived"] = sorted(revived)
     if max(len(g) for g in fgroups) < 2:
         return None, rmaps
     if info is not None:

@@ -282,6 +282,84 @@ def keyed_fanout_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos_df.select("event_id", F.col("global_pos").alias("pos"))
 
 
+# keyed_fanout_pair's two synthetic string keys, shared verbatim by the
+# Spark expression and the DuckDB oracle (built from the same constants
+# so the engines cannot drift). Each key's VALUE is fully determined by
+# two chars: the first from an 8-char alphabet (any boundary sample with
+# ≥9 distinct values collides its 1-byte window by PIGEONHOLE — the
+# initial decline is deterministic, not birthday-dependent), the second
+# from a 64-char alphabet (the 2-byte window covers the whole
+# determinant, so it is sample-clean AND exactly injective by
+# construction). The constant tails ('-shard', '-v0') inflate the
+# optimistic first-pass window without adding discrimination — exactly
+# the front-loaded key class the realized-width retry exists for.
+PAIR_A8 = "08FNVdlz"  # ascending ASCII, span 'z'-'0' = 74
+PAIR_B64 = (
+    "./0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "abcdefghijklmnopqrstuvwxyz"
+)  # 64 ascending ASCII chars, SQL-literal-safe (no quotes/backslash)
+
+PAIR_CAT_SQL = (
+    f"'category/' || substring('{PAIR_A8}', "
+    "1 + CAST(floor((event_id % 512) / 64) AS INT), 1) || "
+    f"substring('{PAIR_B64}', 1 + CAST(event_id % 64 AS INT), 1) "
+    "|| '-shard'"
+)
+PAIR_DOC_SQL = (
+    f"'doc-' || substring('{PAIR_A8}', "
+    "1 + CAST(floor(((event_id * 7) % 512) / 64) AS INT), 1) || "
+    f"substring('{PAIR_B64}', 1 + CAST((event_id * 7) % 64 AS INT), 1) "
+    "|| '-v0'"
+)
+PAIR_WIDE_SQL = "event_id * 35184372088832"  # event_id << 45: unique, ≥59-bit
+
+
+@query(
+    "keyed_fanout_pair",
+    oracle=f"""
+    SELECT event_id,
+           row_number() OVER (
+             ORDER BY {PAIR_CAT_SQL} NULLS FIRST,
+                      {PAIR_DOC_SQL} NULLS FIRST,
+                      {PAIR_WIDE_SQL} NULLS FIRST
+           ) AS pos
+    FROM events
+    """,
+)
+def keyed_fanout_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positioned fanout keyed by TWO adjacent wide strings — (category
+    tag, doc id), the shape whose pack the r13 realized-width retry +
+    neighbor revive exists for (r13 verdict What's-missing item 3: the
+    retry was test-pinned but oracle-invisible; this registers it like
+    keyed_fanout_url registered the decline branch).
+
+    The engagement chain is DETERMINISTIC at any gate scale (alphabet
+    pigeonhole, not birthday odds — see PAIR_A8/PAIR_B64): the category
+    key's first pass locks a 55-bit window against an optimistic
+    width-1 neighbor (its '-shard' tail adds width, not information);
+    the doc key then only affords its 1-byte window, which collides in
+    any ≥9-value sample and DECLINES; the 59+-bit wide tie-break blocks
+    every alternative pairing. The grouping loop's retry re-windows the
+    category key to 6 bytes against the doc key's minimal sample-clean
+    width (15 bits), revives the doc key at its 2-byte window, and both
+    pass the exact injectivity job — a 62-bit composite, asserted via
+    stats (wstr_retried/wstr_revived) by
+    scripts/verify_gp_grouped_registered.py with the gate lowered, ×4
+    partition configs through the chained exact gate. At driver-gate
+    scale the min-rows gate keeps the struct path, which the oracle
+    attests here. Reference sorts raw string keys the same way
+    (external_sort.go:368-398); ASCII-only keeps Spark UTF8 binary
+    order == DuckDB. Output carries positions + ids only."""
+    events = load_table(spark, sf_dir, "events").select("event_id")
+    keyed = (
+        events.withColumn("cat", F.expr(PAIR_CAT_SQL))
+        .withColumn("doc", F.expr(PAIR_DOC_SQL))
+        .withColumn("wide", F.expr(PAIR_WIDE_SQL))
+    )
+    pos_df = sort_ops.with_global_position(keyed, "cat", "doc", "wide")
+    return pos_df.select("event_id", F.col("global_pos").alias("pos"))
+
+
 @query(
     "topk",
     oracle="""

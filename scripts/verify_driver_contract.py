@@ -137,6 +137,7 @@ def main() -> int:
             "keyed_fanout_score",
             "keyed_fanout_name",
             "keyed_fanout_url",
+            "keyed_fanout_pair",
         }
         if not failures and (not ONLY or ONLY & gp_names):
             import verify_gp_grouped_registered as gp

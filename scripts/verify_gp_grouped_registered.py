@@ -21,6 +21,13 @@ attests the struct-compare path:
     to the struct compare, asserted by REASON so a silent pack (or a
     silent wrong-reason decline) fails; the fallback's positions are
     proven against the registered oracle like the pack paths.
+  * keyed_fanout_pair  — (cat, doc, wide): the RETRY+REVIVE path
+    (r14, r13 verdict What's-missing item 3) — the category key's
+    optimistic first-pass window strands it, the doc key declines on
+    a pigeonhole-deterministic 1-byte sample collision, and the
+    realized-width retry must RE-WINDOW cat while the neighbor
+    revive brings doc back, asserted via wstr_retried/wstr_revived
+    so a pack that arrived without the r13 machinery fails.
 
 This script closes the evidence gap WITHOUT touching the registered
 queries: each registered callable runs at the given sf (default sf0.1)
@@ -93,11 +100,24 @@ def _keyed_frames(spark, sf):
             ),
         )
     )
+    from kafka_stream_sorter_spark.queries.sorts import (
+        PAIR_CAT_SQL,
+        PAIR_DOC_SQL,
+        PAIR_WIDE_SQL,
+    )
+
+    pair_keyed = (
+        ev.select("event_id")
+        .withColumn("cat", F.expr(PAIR_CAT_SQL))
+        .withColumn("doc", F.expr(PAIR_DOC_SQL))
+        .withColumn("wide", F.expr(PAIR_WIDE_SQL))
+    )
     return {
         "keyed_fanout_ts": (ts_keyed, ("event_type", "ts", "wide_id")),
         "keyed_fanout_score": (score_keyed, ("event_type", "score", "event_id")),
         "keyed_fanout_name": (name_keyed, ("c_mktsegment", "c_name")),
         "keyed_fanout_url": (url_keyed, ("event_type", "url", "event_id")),
+        "keyed_fanout_pair": (pair_keyed, ("cat", "doc", "wide")),
     }
 
 
@@ -137,10 +157,16 @@ def main(sf: str | None = None, names=None) -> int:
         "keyed_fanout_ts": 3,
         "keyed_fanout_score": 3,
         "keyed_fanout_name": 2,
+        "keyed_fanout_pair": 3,
     }
     # the decline shape: the composite must NOT engage, for the right
     # reason, and the struct fallback must still match the oracle
     decline_shapes = {"keyed_fanout_url": {1: "sample_collision"}}
+    # the retry shape (r14): the realized-width retry must RE-WINDOW the
+    # named field and the neighbor revive must bring the named declined
+    # field back into the pack — a pack that silently arrived some other
+    # way (or fell back) is no proof of the r13 machinery
+    retry_shapes = {"keyed_fanout_pair": {"retried": [0], "revived": [1]}}
     shapes = list(raw_fields) + list(decline_shapes)
     if names is not None:
         shapes = [n for n in shapes if n in set(names)]
@@ -222,6 +248,26 @@ def main(sf: str | None = None, names=None) -> int:
                 f"name field (wstr_packed_fields="
                 f"{stats.get('wstr_packed_fields')})"
             )
+        if name in retry_shapes:
+            exp = retry_shapes[name]
+            want_packed = sorted(exp["retried"] + exp["revived"])
+            if stats.get("wstr_packed_fields") != want_packed:
+                failures.append(
+                    f"{name}: retry shape expected packed fields "
+                    f"{want_packed}, got {stats.get('wstr_packed_fields')}"
+                )
+            if stats.get("wstr_retried") != exp["retried"]:
+                failures.append(
+                    f"{name}: realized-width retry did not re-window "
+                    f"fields {exp['retried']} "
+                    f"(wstr_retried={stats.get('wstr_retried')})"
+                )
+            if stats.get("wstr_revived") != exp["revived"]:
+                failures.append(
+                    f"{name}: neighbor revive did not fire on fields "
+                    f"{exp['revived']} "
+                    f"(wstr_revived={stats.get('wstr_revived')})"
+                )
     con.close()
     if failures:
         print("\nFAIL: " + "; ".join(failures))

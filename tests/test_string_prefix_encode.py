@@ -139,9 +139,11 @@ def test_with_global_position_wide_string_packs(spark, monkeypatch):
     skip, k = stats["wstr_windows"][1]
     # "Customer#0000" is the common prefix of min/max here (ids < 1e5
     # keep the first four id digits constant at 0); the gate picks the
-    # WIDEST affordable window (7 — 5 varying digits + 2 pad bytes),
-    # maximizing the injectivity chance
-    assert (skip, k) == (13, 7), stats
+    # WIDEST USEFUL affordable window — 5, the varying digit count:
+    # bytes past every value's end are 0x00 pads for the whole domain,
+    # so the r14 cap stops the window there instead of billing two pad
+    # bytes of pure width (the old k=7 behavior)
+    assert (skip, k) == (13, 5), stats
     expect = [
         (r["k"], r["tb"])
         for r in df.orderBy(
@@ -483,3 +485,131 @@ def test_failed_retry_restores_original_window_and_accounting(spark):
         0: "singleton",
         1: "sample_collision",
     }, info
+
+
+def test_retry_skips_right_neighbor_inside_full_group(spark):
+    """r13 ADVICE item 1: the retry's only gain is a LOWER group count.
+    A RIGHT neighbor sitting inside a ≥2 group can only pair with the
+    stranded field by EVICTING its group tail — count unchanged — so
+    offering its bare width re-windows the stranded field narrower
+    (discarding its trivially-proven window and paying a fresh exact
+    injectivity job) for zero gain. Pre-fix: a re-windows to k=2, packs
+    with b, evicts c, and pays one countDistinct agg; post-fix the
+    retry does not fire at all."""
+    n = 900
+    rows = []
+    for i in range(n):
+        a = f"A{i % 100:02d}00"  # 100 distinct, k=4 trivial, w=28
+        b = f"B{(i * 99991) % 1000000:06d}"  # unique, k=6 trivial, w=44
+        rows.append((a, b, i % 200))  # c: w=8, groups with b (52 bits)
+    df = spark.createDataFrame(rows, "a string, b string, c long")
+    kcols = [F.col("a"), F.col("b"), F.col("c")]
+    sample_keys = [tuple(r) for r in rows[:400]]
+    bounds = [tuple(rows[200]), tuple(rows[500])]
+
+    calls: list = []
+    orig_agg = type(df).agg
+
+    def spy_agg(self, *ar, **kw):
+        calls.append([str(c) for c in ar])
+        return orig_agg(self, *ar, **kw)
+
+    import unittest.mock as mock
+
+    info: dict = {}
+    with mock.patch.object(type(df), "agg", spy_agg):
+        comp, rmaps = sort_ops._composite_key(
+            df, ("a", "b", "c"), kcols, sample_keys, bounds, info=info
+        )
+    assert comp is not None, info
+    # [b, c] is the one ≥2 group; a must KEEP its proven singleton
+    # window instead of stealing b out of it (pre-fix: [a, b] + evicted
+    # c, wstr_packed_fields == [0, 1])
+    assert info.get("wstr_packed_fields") == [1], info
+    assert info.get("wstr_retried") == [], info
+    assert info.get("wstr_revived") == [], info
+    # both wstr windows are trivially proven — no exact injectivity agg
+    # may run (pre-fix the futile re-window paid one for field a)
+    flat = [s for call in calls for s in call]
+    n_cd = sum(s.lower().count("count(") for s in flat)
+    assert n_cd == 0, (n_cd, flat)
+
+
+def test_failed_revive_keeps_original_decline_reason(spark):
+    """r13 ADVICE item 2: a revive attempt that fails under the tighter
+    realized budget must not rewrite the neighbor's ORIGINAL decline
+    reason. Here b declines on WIDTH (a's 56-bit initial window leaves
+    a 7-bit budget, below even b's 1-byte window), the retry re-windows
+    a against its LEFT neighbor's larger budget, and the revive of b
+    then fails on a sample collision — pre-fix the accounting flipped
+    'width' into 'sample_collision'."""
+    n = 900
+    rows = []
+    for i in range(n):
+        # first tail byte mixes ASCII '0' (0x30) with the first byte of
+        # a 2-byte UTF-8 char (0xC3) — span ≥ 2^55 at k=7 (w=56)
+        a = ("0" if i % 2 == 0 else "ê") + f"{i % 100:02d}000"
+        b = ("0" if i % 3 == 0 else "ê") + f"{i % 100:02d}"
+        rows.append(((i * 577) % (1 << 20), a, b))
+    df = spark.createDataFrame(rows, "p long, a string, b string")
+    kcols = [F.col("p"), F.col("a"), F.col("b")]
+    sample_keys = [tuple(r) for r in rows[:400]]
+    bounds = [tuple(rows[200]), tuple(rows[500])]
+
+    info: dict = {}
+    comp, rmaps = sort_ops._composite_key(
+        df, ("p", "a", "b"), kcols, sample_keys, bounds, info=info
+    )
+    assert comp is not None, info
+    # the retry narrows a from k=7 (w=56) to k=5 (w=40) and packs it
+    # with p; b's revive is then only offered k=2, which collides (all
+    # odd-class values share the 0xC3 0xAA window) and fails
+    assert info.get("wstr_packed_fields") == [1], info
+    assert info.get("wstr_retried") == [1], info
+    assert info.get("wstr_revived") == [], info
+    # the load-bearing assertion: b's ORIGINAL width decline survives
+    # the failed revive (pre-fix: {2: 'sample_collision'})
+    assert info.get("wstr_declined") == {2: "width"}, info
+
+
+def test_retried_field_failing_injectivity_restores_original_window(spark):
+    """r13 ADVICE item 3: when a retried field's NARROWER exploratory
+    window later fails the exact injectivity job, the field's original
+    (wider, trivially-proven) window must come back and the field stays
+    a valid singleton — pre-fix it was demoted outright and the
+    accounting reported the exploratory window's 'injectivity' instead
+    of 'singleton'."""
+    n = 900
+    rows = []
+    for i in range(n):
+        a = f"A{i:04d}00"  # 'A0' + 3 varying digits + '00': k=5 trivial
+        b = f"B{(i * 97) % 90000 + 10000:05d}77"
+        rows.append((a, b))
+    # planted sample collision for b below k=5 (shared '1000' prefix)
+    rows[0] = (rows[0][0], "B1000077")
+    rows[1] = (rows[1][0], "B1000377")
+    # the poison pair: 'A000199' ties with row 1's 'A000100' in any
+    # window of ≤3 tail bytes but is OUTSIDE the sample — so the retry's
+    # k=3 re-window passes the free pre-check and only the exact
+    # countDistinct job catches it
+    rows.append(("A000199", "B9999977"))
+    df = spark.createDataFrame(rows, "a string, b string")
+    kcols = [F.col("a"), F.col("b")]
+    sample_keys = [tuple(r) for r in rows[:400]]
+    bounds = [tuple(rows[200]), tuple(rows[500])]
+
+    info: dict = {}
+    comp, rmaps = sort_ops._composite_key(
+        df, ("a", "b"), kcols, sample_keys, bounds, info=info
+    )
+    # the restored original window is 36 bits wide and b's revived
+    # window is 36 — they cannot share 63 bits, so no pack survives;
+    # what matters is the ACCOUNTING: a was never declined, it merely
+    # stayed a singleton on its original valid window
+    assert comp is None, info
+    assert info.get("wstr_declined") == {
+        0: "singleton",
+        1: "singleton",
+    }, info
+    # the rolled-back re-window must not be reported as a live retry
+    assert info.get("wstr_retried") == [], info
