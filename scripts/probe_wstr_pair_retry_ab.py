@@ -43,8 +43,15 @@ agg; with a MID-card leading string (ties everywhere) the second
 string's compares are the dominant cost the pack deletes. The window
 assertions are pinned only for the default cardinality.
 
-Usage: python scripts/probe_wstr_pair_retry_ab.py [n_rows] [repeats] [--arms=a,b] [--cats=N]
-Default 100M x 3, all four arms. Run EXCLUSIVELY.
+--sink=parquet replaces the noop sink with a real parquet write
+(fresh dir per repeat, cleaned after) — the r13 noop ratios priced the
+pure compute term; CLAUDE.md's write-decomposition rule notes the disk
+term can move pack/decline ratios (r11 float probe), which is exactly
+what the r13 verdict stretch asks to confirm at 100M with the ts
+control in-window.
+
+Usage: python scripts/probe_wstr_pair_retry_ab.py [n_rows] [repeats] [--arms=a,b] [--cats=N] [--sink=noop|parquet]
+Default 100M x 3, all four arms, noop sink. Run EXCLUSIVELY.
 """
 
 from __future__ import annotations
@@ -68,6 +75,11 @@ N_CATS = next(
     (int(a.split("=", 1)[1]) for a in sys.argv[1:] if a.startswith("--cats=")),
     100_000,
 )
+SINK = next(
+    (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--sink=")),
+    "noop",
+)
+assert SINK in ("noop", "parquet"), SINK
 
 
 def calib() -> float:
@@ -163,7 +175,11 @@ def main() -> None:
                 t0 = time.perf_counter()
                 pos_df = sort_ops.with_global_position(events, *keys, stats=stats)
                 t_mid = time.perf_counter()
-                pos_df.write.format("noop").mode("overwrite").save()
+                if SINK == "parquet":
+                    out = f"/tmp/probe_pair_sink_{label}"
+                    pos_df.write.mode("overwrite").parquet(out)
+                else:
+                    pos_df.write.format("noop").mode("overwrite").save()
                 t1 = time.perf_counter()
             finally:
                 sort_ops._composite_key = orig_ck
@@ -184,8 +200,13 @@ def main() -> None:
     def med(xs):
         return round(statistics.median(xs), 1)
 
+    if SINK == "parquet":
+        import shutil
+
+        for label in arms:
+            shutil.rmtree(f"/tmp/probe_pair_sink_{label}", ignore_errors=True)
     report = {
-        "probe": "wstr_pair_retry_ab_noop",
+        "probe": f"wstr_pair_retry_ab_{SINK}",
         "n_rows": N_ROWS,
         "n_cats": N_CATS,
         "repeats": REPEATS,

@@ -613,3 +613,37 @@ def test_retried_field_failing_injectivity_restores_original_window(spark):
     }, info
     # the rolled-back re-window must not be reported as a live retry
     assert info.get("wstr_retried") == [], info
+
+
+def test_fixed_suffix_pair_packs_first_pass_without_retry(spark):
+    """r14 window cap: with windows capped at the realized max tail
+    length, a fixed-length-suffix adjacent pair sizes correctly on the
+    FIRST pass (no pad-inflated 52-bit window, no strand, no retry) —
+    the retry machinery stays reserved for front-loaded keys whose
+    width comes from constant mid-key runs. Without the cap this shape
+    only packed via the full retry+revive detour (one extra exact
+    injectivity round)."""
+    n = 900
+    rows = []
+    for i in range(n):
+        a = f"A{i % 500:03d}"  # tail 3 -> capped k=3, w=20
+        b = f"B{(i * 7717) % 10000:04d}"  # tail 4 -> capped k=4, w=28
+        rows.append((a, b, ((i * 2654435761) % (1 << 30)) << 32))
+    df = spark.createDataFrame(rows, "a string, b string, tb long")
+    kcols = [F.col("a"), F.col("b"), F.col("tb")]
+    sample_keys = [tuple(r) for r in rows[:400]]
+    bounds = [tuple(rows[200]), tuple(rows[500])]
+
+    info: dict = {}
+    comp, rmaps = sort_ops._composite_key(
+        df, ("a", "b", "tb"), kcols, sample_keys, bounds, info=info
+    )
+    assert comp is not None, info
+    assert info.get("wstr_packed_fields") == [0, 1], info
+    assert info.get("wstr_windows") == {0: (1, 3), 1: (1, 4)}, info
+    # the load-bearing assertion: the pack arrived WITHOUT the retry
+    assert info.get("wstr_retried") == [], info
+    assert info.get("wstr_revived") == [], info
+    # both windows cover their whole tails -> trivially injective, no
+    # exact countDistinct job was needed either
+    assert info.get("wstr_trivial_fields") == [0, 1], info
