@@ -247,6 +247,28 @@ GP_DICT_RANK_MAX_KEYS = 64
 #: (composite: 327→85s, 463→125s at 300M). 20M sits comfortably between
 #: fixture scale and the smallest probed win scale.
 GP_COMPOSITE_MIN_ROWS = 20_000_000
+#: Engagement floor for the wide-string REGIME gate (r14 verdict item
+#: 3): a group's pack is declined with reason 'regime' when the
+#: boundary sample proves the group's leading key prefix is high-card
+#: relative to rows-per-bucket — Spark's lexicographic compare chain
+#: short-circuits on a near-unique leading field, so the later fields'
+#: compares the pack would delete were never being paid, while its
+#: build tax (per-row encodes + the double countDistinct injectivity
+#: agg) runs 11-21% of wall at 100M (SCALING.md rounds 13-14; exec
+#: ratio 1.03 at the 100k-cat regime vs 0.92 at 2k and 0.70 at 8).
+#: The decision quantity is sample-distinct(prefix through the leading
+#: field) ≥ rows-per-bucket (= ties per bucket sort), a one-sided-safe
+#: LOWER bound on true cardinality — but only decisive when the sample
+#: is at least this factor × rows-per-bucket, else the gate stays
+#: inert (sample-distinct saturates at the sample size). With mod-256
+#: sampling the factor-2 floor self-gates on scale: inert below ~8.4M
+#: rows (every fixture/verifier scale, deterministically — the r14
+#: builder note about a ~39-row sample misfiring on the registered
+#: pair shape applies only to detectors without this floor) and, at
+#: the 573k sample cap, inert again above ~2.3B rows (the pack then
+#: engages as before — worst case is the measured neutral-plus-tax,
+#: never a lost win).
+GP_REGIME_MIN_SAMPLE_FACTOR = 2
 
 
 def _gp_sample_cap() -> int:
@@ -268,6 +290,9 @@ def _composite_key(
     sample_keys: list,
     bounds: list,
     info: dict | None = None,
+    *,
+    est_rows: int | None = None,
+    n_buckets: int | None = None,
 ):
     """(composite_expr_and_bounds_or_None, string_rank_maps) for N-field
     key shapes that rank-pack into ONE long — the r10 generalization of
@@ -351,6 +376,14 @@ def _composite_key(
     domain (non-deterministic source belt). The returned ``rmaps``
     carry any exact string domains job B already paid for, so the
     `_dict_rank_maps` fallback never repeats them.
+
+    ``est_rows`` / ``n_buckets`` (keyword-only, both-or-inert) feed the
+    leading-prefix regime gate: rows-per-bucket = est_rows // n_buckets
+    is the ties-per-bucket-sort threshold a group's sampled leading
+    prefix is compared against (the SCALING.md r13-r14 regime law;
+    decline reason 'regime'). Callers that omit them — every pre-r15
+    call site and unit test — get the gate disabled, never a changed
+    grouping.
 
     Pre-job accounting (both keys-only scans, caller-gated on
     est_rows ≥ GP_COMPOSITE_MIN_ROWS so fixture-scale tables never pay):
@@ -655,7 +688,12 @@ def _composite_key(
     #      take this path and never pay a countDistinct;
     #   5. otherwise the exact injectivity job (countDistinct(raw) ==
     #      countDistinct(encode)) is DEFERRED until grouping proves the
-    #      field actually lands in a ≥2 group — see the grouping loop;
+    #      field actually lands in a ≥2 group — see the grouping loop,
+    #      whose leading-prefix REGIME gate (r15, r14 verdict item 3)
+    #      can decline the whole group first, skipping this job AND the
+    #      encodes, when the boundary sample proves the pack wins
+    #      nothing (near-unique leading prefix — lexicographic
+    #      short-circuit; see GP_REGIME_MIN_SAMPLE_FACTOR);
     #   6. a REALIZED-WIDTH retry (r13, r12 ADVICE item 1): when the
     #      optimistic initial selection strands a chosen field as a
     #      singleton — or width-/sample-declines its wstr neighbor — the
@@ -668,8 +706,8 @@ def _composite_key(
     wstr_trivial: set[int] = set()  # proven injective without job C
     wstr_meta: dict[int, tuple[str, str, int]] = {}  # idx -> (min, max, skip)
     # idx -> why a job-A-paying wstr candidate did not pack ("width" /
-    # "sample_collision" / "injectivity"; "singleton" filled at info
-    # time) — surfaced via stats so a deployment where wide-string keys
+    # "sample_collision" / "injectivity" / "regime"; "singleton" filled
+    # at info time) — surfaced via stats so a deployment where wide-string keys
     # commonly DECLINE can quantify the job-A aggregates they still pay
     # (r12 ADVICE item 3), and so the decline-path verifier can assert
     # the exact gate that fired rather than just the absence of a pack.
@@ -847,8 +885,66 @@ def _composite_key(
     # trivial?, checked?) — consumed if the NARROWER exploratory window
     # later fails the exact injectivity job (r13 ADVICE item 3)
     retry_snap: dict[int, tuple] = {}
+
+    # Leading-prefix regime gate (r14 verdict item 3 — the SCALING.md
+    # rounds 13-14 regime law turned from documentation into behavior).
+    # The pack's only exec win is deleting compares of fields AFTER the
+    # group's leading field, and those compares are paid only when two
+    # rows tie on every field up THROUGH it: when the key prefix ending
+    # at the group's leading field is near-unique per bucket sort, the
+    # lexicographic chain short-circuits there and the pack buys nothing
+    # while still paying per-row encodes plus the deferred double
+    # countDistinct. The sample statistic is a LOWER bound on true
+    # cardinality (distinct-in-sample can only undercount), so the gate
+    # can only fire on genuinely high-card prefixes; the
+    # GP_REGIME_MIN_SAMPLE_FACTOR floor keeps it inert where the sample
+    # could not resolve the threshold (all fixture scales, and the
+    # saturation regime above ~2.3B rows). NaN-bearing float prefixes
+    # can overcount distinct tuples (NaN != NaN); the failure mode is a
+    # skipped pack — perf-only, never positions.
+    _prefix_distinct: dict[int, int] = {}
+
+    def _regime_declines(lead: int) -> bool:
+        if est_rows is None or n_buckets is None or not sample_keys:
+            return False
+        rpb = max(1, est_rows // max(1, n_buckets))
+        if len(sample_keys) < GP_REGIME_MIN_SAMPLE_FACTOR * rpb:
+            return False
+        if lead not in _prefix_distinct:
+            _prefix_distinct[lead] = len(
+                {tuple(t[: lead + 1]) for t in sample_keys}
+            )
+        return _prefix_distinct[lead] >= rpb
+
     while True:
         fgroups = _greedy(widths)
+        # Regime check runs BEFORE the exact injectivity job so a
+        # declined group's wstr members never pay the countDistinct agg
+        # (the dominant pack tax, ~30s/100M) nor their per-row encodes.
+        # Only wstr members demote — int/ts members cost nothing to pack
+        # and may regroup among themselves. Each hit strictly shrinks
+        # wstr_k, so the loop still terminates; 'regime' is outside the
+        # revive scan's (width, sample_collision) set, so a regime
+        # decline stays dead.
+        regime_hit = False
+        for g in fgroups:
+            if len(g) < 2 or not any(i in wstr_k for i in g):
+                continue
+            if _regime_declines(g[0]):
+                for i in g:
+                    if i in wstr_k:
+                        packable[i] = False
+                        widths[i] = None
+                        del wstr_k[i]
+                        wstr_trivial.discard(i)
+                        checked.discard(i)
+                        retry_ok.discard(i)
+                        revived.discard(i)
+                        retry_snap.pop(i, None)
+                        wstr_decline[i] = "regime"
+                regime_hit = True
+        if regime_hit:
+            continue  # regroup: a dissolved group can re-pair neighbors
         need = [
             i
             for g in fgroups
@@ -1038,9 +1134,14 @@ def _composite_key(
         # of the decline reasons): fields the realized-width retry
         # actually RE-WINDOWED (rollbacks excluded) and declined
         # neighbors it revived into the pack — so the gp verifier can
-        # assert the retry fired instead of inferring it from widths
-        info["wstr_retried"] = sorted(retry_ok)
-        info["wstr_revived"] = sorted(revived)
+        # assert the retry fired instead of inferring it from widths.
+        # Filtered against the FINAL packed set (r14 ADVICE item 2): a
+        # re-windowed field whose revived partner later fails its exact
+        # gate — or a revived field stranded by its partner's rollback —
+        # ends a singleton, and reporting it would claim a retry/revive
+        # with no pack to show for it.
+        info["wstr_retried"] = sorted(retry_ok & packed_w)
+        info["wstr_revived"] = sorted(revived & packed_w)
     if max(len(g) for g in fgroups) < 2:
         return None, rmaps
     if info is not None:
@@ -1402,7 +1503,8 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
     comp_info: dict = {}
     if bounds and est_rows >= GP_COMPOSITE_MIN_ROWS:
         groups, pre_rmaps = _composite_key(
-            df, keys, kcols, sample_keys, bounds, info=comp_info
+            df, keys, kcols, sample_keys, bounds, info=comp_info,
+            est_rows=est_rows, n_buckets=n_buckets,
         )
         if groups is None:
             rank_maps = _dict_rank_maps(

@@ -311,7 +311,15 @@ PAIR_DOC_SQL = (
     f"substring('{PAIR_B64}', 1 + CAST((event_id * 7) % 64 AS INT), 1) "
     "|| '-v0'"
 )
-PAIR_WIDE_SQL = "event_id * 35184372088832"  # event_id << 45: unique, ≥59-bit
+# Unique ≥59-bit tie-break that cannot overflow int64 at ANY plausible
+# scale (r14 ADVICE item 1: the previous `event_id << 45` overflowed at
+# event_id ≥ 2^18 ≈ sf0.26 — DuckDB raises OutOfRange while non-ANSI
+# Spark wraps silently, so query and oracle diverged above sf0.1 and
+# verify_gp_grouped_registered.py accepts an arbitrary sf-dir).
+# f(e) = (e mod 2^18)·2^45 + e is injective for e < 2^45 (f(a)=f(b) ⇒
+# a−b = 2^45·k with |a−b| < 2^45 ⇒ a=b), maxes at 2^63−1 exactly, and
+# is monotone in e below 2^18 — bit-identical positions at gate scales.
+PAIR_WIDE_SQL = "(event_id % 262144) * 35184372088832 + event_id"
 
 
 @query(

@@ -1036,3 +1036,44 @@ def test_with_global_position_random_multitype_property(spark, monkeypatch):
         assert len(got) == n, (seed, kinds, stats)
         for pos, tb in enumerate(expect, start=1):
             assert got[tb] == pos, (seed, kinds, pos, tb, got[tb], stats)
+
+
+def test_pair_wide_tiebreak_no_int64_overflow_beyond_gate_scales(spark):
+    """r14 ADVICE item 1: keyed_fanout_pair's wide tie-break must stay
+    inside int64 at ANY event_id scale — the old `event_id << 45`
+    overflowed at event_id >= 2^18 (~sf0.26), where DuckDB raises
+    OutOfRange while non-ANSI Spark wraps silently, diverging query
+    from oracle above sf0.1 (verify_gp_grouped_registered.py accepts an
+    arbitrary sf-dir). The replacement f(e) = (e mod 2^18)*2^45 + e is
+    injective for e < 2^45, monotone below 2^18 (bit-identical gate
+    positions), and maxes at exactly 2^63-1."""
+    import duckdb
+
+    import kafka_stream_sorter_spark.registry  # noqa: F401  (sorts.py is
+    # only importable THROUGH the registry package import)
+    from kafka_stream_sorter_spark.queries.sorts import PAIR_WIDE_SQL
+
+    ids = [0, 1, 99_999, 262_143, 262_144, 1_000_000, (1 << 45) - 1]
+    df = spark.createDataFrame([(i,) for i in ids], "event_id long")
+    got = {
+        r["event_id"]: r["w"]
+        for r in df.select("event_id", F.expr(PAIR_WIDE_SQL).alias("w")).collect()
+    }
+    con = duckdb.connect()
+    values = ", ".join(f"({i})" for i in ids)
+    # pre-fix this raises OutOfRangeException at event_id = 262144
+    oracle = {
+        e: w
+        for e, w in con.execute(
+            f"SELECT event_id, {PAIR_WIDE_SQL} AS w "
+            f"FROM (VALUES {values}) AS t(event_id)"
+        ).fetchall()
+    }
+    con.close()
+    expect = {e: (e % 262144) * 35184372088832 + e for e in ids}
+    assert got == expect
+    assert oracle == expect
+    # injective over the probed span, monotone below 2^18, int64-safe
+    assert len(set(expect.values())) == len(ids)
+    assert expect[262_143] > expect[99_999] > expect[1] > expect[0]
+    assert max(expect.values()) == (1 << 63) - 1

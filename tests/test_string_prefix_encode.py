@@ -647,3 +647,146 @@ def test_fixed_suffix_pair_packs_first_pass_without_retry(spark):
     # both windows cover their whole tails -> trivially injective, no
     # exact countDistinct job was needed either
     assert info.get("wstr_trivial_fields") == [0, 1], info
+
+
+def test_retry_stats_exclude_fields_that_did_not_pack(spark):
+    """r14 ADVICE item 2: wstr_retried/wstr_revived must report packs,
+    not attempts. Here the retry re-windows the left field (valid,
+    passes its exact gate) and revives the right one — but the revived
+    partner then FAILS the exact injectivity job on a poison pair
+    outside the sample, so the final grouping packs neither. Pre-fix
+    the stats still claimed wstr_retried=[0]: a retry with no pack to
+    show for it."""
+    n = 900
+    rows = []
+    for i in range(n):
+        # identical shape to the adjacent-pair retry test: left locks an
+        # optimistic k=7 window, right declines at a sample-colliding
+        # k=1, the retry narrows left to k=5 and revives right at k=3
+        a = f"A{(i * 2654435761) % 100000:05d}00"
+        b = f"B{(i * 48271) % 1000:03d}0000"
+        rows.append((a, b, ((i * 2654435761) % (1 << 30)) << 32))
+    # poison: two b values sharing their k=3 window ('999') with each
+    # other AND with the regular 'B9990000', differing only past it —
+    # outside the sample, so only the revived window's exact
+    # countDistinct catches them (cd=902 vs ce=900)
+    rows.append((f"A{(900 * 2654435761) % 100000:05d}00", "B9991111", 1 << 40))
+    rows.append((f"A{(901 * 2654435761) % 100000:05d}00", "B9992222", 2 << 40))
+    df = spark.createDataFrame(rows, "a string, b string, tb long")
+    kcols = [F.col("a"), F.col("b"), F.col("tb")]
+    sample_keys = [tuple(r) for r in rows[:80]]
+    bounds = [tuple(rows[200]), tuple(rows[500])]
+
+    info: dict = {}
+    comp, rmaps = sort_ops._composite_key(
+        df, ("a", "b", "tb"), kcols, sample_keys, bounds, info=info
+    )
+    # the revived partner's injectivity failure dissolves the pack
+    assert comp is None, info
+    assert info.get("wstr_declined") == {
+        0: "singleton",
+        1: "injectivity",
+    }, info
+    # the load-bearing assertions: the retry DID fire and re-window a,
+    # but with no surviving pack the stats must not report it (pre-fix:
+    # wstr_retried == [0])
+    assert info.get("wstr_retried") == [], info
+    assert info.get("wstr_revived") == [], info
+
+
+def test_regime_near_unique_leading_declines_before_exact_job(spark):
+    """r14 verdict item 3 (fail-on-pre-fix): a group whose LEADING key
+    prefix is sample-high-card relative to rows-per-bucket must decline
+    with reason 'regime' BEFORE paying the deferred exact injectivity
+    agg or building encodes — the SCALING.md r13-r14 law (lexicographic
+    short-circuit: with a near-unique leading field the later fields'
+    compares were never being paid, so the pack's build tax, 11-21% of
+    wall at 100M, buys nothing). Pre-fix the pair packs [0, 1] and pays
+    the right field's countDistinct."""
+    import unittest.mock as mock
+
+    n = 5000
+    rows = [(f"K{i:06d}", f"D{(i * 271) % 1000:03d}0000", i) for i in range(n)]
+    df = spark.createDataFrame(rows, "a string, b string, id long")
+    kcols = [F.col("a"), F.col("b")]
+    sample_keys = [(r[0], r[1]) for r in rows]
+    bounds = [(rows[2000][0], rows[2000][1])]
+
+    # rows-per-bucket 20M/8192 = 2441: the 5000-distinct leading sample
+    # clears both the factor-2 engagement floor (5000 >= 4882) and the
+    # threshold (5000 >= 2441) deterministically — the sample is the
+    # whole table, no birthday odds anywhere
+    calls: list = []
+    orig_agg = type(df).agg
+
+    def spy_agg(self, *ar, **kw):
+        calls.append([str(c) for c in ar])
+        return orig_agg(self, *ar, **kw)
+
+    info: dict = {}
+    with mock.patch.object(type(df), "agg", spy_agg):
+        comp, rmaps = sort_ops._composite_key(
+            df, ("a", "b"), kcols, sample_keys, bounds, info=info,
+            est_rows=20_000_000, n_buckets=8192,
+        )
+    assert comp is None, info
+    assert info.get("wstr_declined") == {0: "regime", 1: "regime"}, info
+    assert info.get("wstr_retried") == [], info
+    # the tax the gate exists to remove: zero countDistinct aggregates
+    # ran (job A's min/max/octet agg is count-free)
+    flat = [s for call in calls for s in call]
+    assert sum(s.lower().count("count(") for s in flat) == 0, flat
+
+    # causality control: the SAME shape with the scale args omitted
+    # (every pre-r15 call site) packs exactly as before
+    info2: dict = {}
+    comp2, _ = sort_ops._composite_key(
+        df, ("a", "b"), kcols, sample_keys, bounds, info=info2
+    )
+    assert comp2 is not None, info2
+    assert info2.get("wstr_packed_fields") == [0, 1], info2
+
+    # regime control: a TIE-HEAVY leading field (200 classes, under the
+    # 2441 threshold) packs even with the gate armed — the gate
+    # discriminates regimes, it is not an on/off switch
+    rows3 = [
+        (f"K{(i * 7) % 200:03d}", f"D{(i * 271) % 1000:03d}0000", i)
+        for i in range(n)
+    ]
+    df3 = spark.createDataFrame(rows3, "a string, b string, id long")
+    sample3 = [(r[0], r[1]) for r in rows3]
+    info3: dict = {}
+    comp3, _ = sort_ops._composite_key(
+        df3, ("a", "b"), [F.col("a"), F.col("b")], sample3,
+        [(rows3[2000][0], rows3[2000][1])], info=info3,
+        est_rows=20_000_000, n_buckets=8192,
+    )
+    assert comp3 is not None, info3
+    assert info3.get("wstr_packed_fields") == [0, 1], info3
+    assert info3.get("wstr_declined") in (None, {}), info3
+
+
+def test_regime_gate_end_to_end_with_exhaustive_sample(spark, monkeypatch):
+    """The regime decline through with_global_position itself, made
+    pigeonhole-deterministic by GP_SAMPLE_MOD=1 (the boundary sample IS
+    the table — the same construction verify_gp_grouped_registered.py
+    uses for the keyed_fanout_unique assertion): est_rows=4000,
+    n_buckets=2, rows-per-bucket=2000, the 4000-distinct leading field
+    fires the gate exactly at the factor-2 floor. Positions must stay
+    bit-identical to Spark's struct order on the declined path."""
+    n = 4000
+    rows = [(f"K{i:06d}", f"D{(i * 271) % 1000:03d}0000", i) for i in range(n)]
+    df = spark.createDataFrame(rows, "a string, b string, id long")
+    monkeypatch.setattr(sort_ops, "GP_SAMPLE_MOD", 1)
+    monkeypatch.setattr(sort_ops, "GP_COMPOSITE_MIN_ROWS", 0)
+    stats: dict = {}
+    got = (
+        sort_ops.with_global_position(df, "a", "b", stats=stats)
+        .orderBy("global_pos")
+        .select("id")
+        .collect()
+    )
+    assert stats.get("composite_key") is False, stats
+    assert stats.get("wstr_declined") == {0: "regime", 1: "regime"}, stats
+    # leading field is unique, so struct order == id order
+    assert [r["id"] for r in got] == list(range(n))
