@@ -368,6 +368,54 @@ def keyed_fanout_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos_df.select("event_id", F.col("global_pos").alias("pos"))
 
 
+# keyed_fanout_unique's leading key: one distinct value PER ROW. lpad to
+# 12 digits keeps the string order == numeric order for event_id < 10^12
+# (far past any plausible sf; lpad TRUNCATES above that, so the ceiling
+# is explicit here like PAIR_WIDE_SQL's). 'AS STRING' parses in both
+# engines (DuckDB aliases STRING to VARCHAR).
+UNIQ_KEY_SQL = "'u' || lpad(CAST(event_id AS STRING), 12, '0')"
+
+
+@query(
+    "keyed_fanout_unique",
+    oracle=f"""
+    SELECT event_id,
+           row_number() OVER (
+             ORDER BY {UNIQ_KEY_SQL} NULLS FIRST,
+                      {PAIR_DOC_SQL} NULLS FIRST
+           ) AS pos
+    FROM events
+    """,
+)
+def keyed_fanout_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positioned fanout whose LEADING wide-string key is unique per row
+    — the regime the r13-r14 100M probes proved a pack cannot win
+    (SCALING.md: Spark's lexicographic compare chain short-circuits on
+    the near-unique leading field, so the doc key's compares were never
+    being paid; the pack's build tax ran 11-21% of wall for an
+    exec-NEUTRAL 1.03). Registered (r15, r14 verdict stretch 8) so the
+    regime-gate decision branch is oracle-visible like keyed_fanout_url
+    pinned sample_collision and keyed_fanout_pair pinned retry+revive:
+    scripts/verify_gp_grouped_registered.py first proves the shape is
+    genuinely PACKABLE (lowered gate, default sampling — the regime
+    gate's factor-2 floor is deterministically inert at fixture sample
+    sizes), then re-runs with GP_SAMPLE_MOD=1 (the boundary sample IS
+    the table — pigeonhole-deterministic, per the CLAUDE.md rule) and
+    asserts both fields decline with reason 'regime', ×4 partition
+    configs through the chained exact gate. At driver-gate scale the
+    min-rows gate keeps the struct path, which the oracle attests here.
+    Reference sorts raw string keys the same way
+    (external_sort.go:368-398); ASCII-only keeps Spark UTF8 binary
+    order == DuckDB. Output carries positions + ids only."""
+    events = load_table(spark, sf_dir, "events").select("event_id")
+    keyed = (
+        events.withColumn("uniq", F.expr(UNIQ_KEY_SQL))
+        .withColumn("doc", F.expr(PAIR_DOC_SQL))
+    )
+    pos_df = sort_ops.with_global_position(keyed, "uniq", "doc")
+    return pos_df.select("event_id", F.col("global_pos").alias("pos"))
+
+
 @query(
     "topk",
     oracle="""

@@ -28,6 +28,17 @@ attests the struct-compare path:
     realized-width retry must RE-WINDOW cat while the neighbor
     revive brings doc back, asserted via wstr_retried/wstr_revived
     so a pack that arrived without the r13 machinery fails.
+  * keyed_fanout_unique — (uniq, doc): the REGIME-decline path (r15,
+    r14 verdict item 3) — first proven genuinely packable under the
+    lowered gate with default sampling (the regime gate's factor-2
+    engagement floor is deterministically inert at fixture sample
+    sizes), then re-run with GP_SAMPLE_MOD=1 so the boundary sample
+    IS the table (pigeonhole-deterministic, no birthday odds): the
+    per-row-unique leading key must fire the leading-prefix regime
+    gate and decline BOTH fields with reason 'regime' — the
+    SCALING.md r13-r14 law (a near-unique-leading pack is
+    exec-neutral while its build tax runs 11-21% of wall at 100M)
+    as asserted behavior.
 
 This script closes the evidence gap WITHOUT touching the registered
 queries: each registered callable runs at the given sf (default sf0.1)
@@ -104,6 +115,7 @@ def _keyed_frames(spark, sf):
         PAIR_CAT_SQL,
         PAIR_DOC_SQL,
         PAIR_WIDE_SQL,
+        UNIQ_KEY_SQL,
     )
 
     pair_keyed = (
@@ -112,12 +124,18 @@ def _keyed_frames(spark, sf):
         .withColumn("doc", F.expr(PAIR_DOC_SQL))
         .withColumn("wide", F.expr(PAIR_WIDE_SQL))
     )
+    unique_keyed = (
+        ev.select("event_id")
+        .withColumn("uniq", F.expr(UNIQ_KEY_SQL))
+        .withColumn("doc", F.expr(PAIR_DOC_SQL))
+    )
     return {
         "keyed_fanout_ts": (ts_keyed, ("event_type", "ts", "wide_id")),
         "keyed_fanout_score": (score_keyed, ("event_type", "score", "event_id")),
         "keyed_fanout_name": (name_keyed, ("c_mktsegment", "c_name")),
         "keyed_fanout_url": (url_keyed, ("event_type", "url", "event_id")),
         "keyed_fanout_pair": (pair_keyed, ("cat", "doc", "wide")),
+        "keyed_fanout_unique": (unique_keyed, ("uniq", "doc")),
     }
 
 
@@ -158,10 +176,17 @@ def main(sf: str | None = None, names=None) -> int:
         "keyed_fanout_score": 3,
         "keyed_fanout_name": 2,
         "keyed_fanout_pair": 3,
+        "keyed_fanout_unique": 2,
     }
     # the decline shape: the composite must NOT engage, for the right
     # reason, and the struct fallback must still match the oracle
     decline_shapes = {"keyed_fanout_url": {1: "sample_collision"}}
+    # the regime shape (r15): provably packable under the lowered gate
+    # with default sampling (asserted via raw_fields above), but with
+    # GP_SAMPLE_MOD=1 — the sample IS the table, so the decision is
+    # pigeonhole-deterministic — the per-row-unique leading key must
+    # fire the leading-prefix regime gate and decline BOTH fields
+    regime_shapes = {"keyed_fanout_unique": {0: "regime", 1: "regime"}}
     # the retry shape (r14): the realized-width retry must RE-WINDOW the
     # named field and the neighbor revive must bring the named declined
     # field back into the pack — a pack that silently arrived some other
@@ -267,6 +292,44 @@ def main(sf: str | None = None, names=None) -> int:
                     f"{name}: neighbor revive did not fire on fields "
                     f"{exp['revived']} "
                     f"(wstr_revived={stats.get('wstr_revived')})"
+                )
+        if name in regime_shapes:
+            # the pack just proven above is what the regime gate must
+            # take away once the sample is decisive: exhaustive-sample
+            # re-run, both fields decline with reason 'regime', and the
+            # exact countDistinct tax the gate exists to skip never runs
+            if stats.get("wstr_packed_fields") != sorted(regime_shapes[name]):
+                failures.append(
+                    f"{name}: regime shape did not pack under default "
+                    f"sampling (wstr_packed_fields="
+                    f"{stats.get('wstr_packed_fields')}) — the decline "
+                    f"assertion below would be vacuous"
+                )
+            default_mod = sort_ops.GP_SAMPLE_MOD
+            stats2: dict = {}
+            try:
+                sort_ops.GP_COMPOSITE_MIN_ROWS = 0
+                sort_ops.GP_SAMPLE_MOD = 1
+                sort_ops.with_global_position(
+                    keyed, *keys, stats=stats2
+                ).write.format("noop").mode("overwrite").save()
+            finally:
+                sort_ops.GP_COMPOSITE_MIN_ROWS = default_gate
+                sort_ops.GP_SAMPLE_MOD = default_mod
+            print(
+                f"  regime (mod=1): composite_key={stats2.get('composite_key')} "
+                f"wstr_declined={stats2.get('wstr_declined')}"
+            )
+            if stats2.get("composite_key") is not False:
+                failures.append(
+                    f"{name}: exhaustive-sample run still engaged a "
+                    f"composite — the regime gate did not fire"
+                )
+            if stats2.get("wstr_declined") != regime_shapes[name]:
+                failures.append(
+                    f"{name}: expected regime decline "
+                    f"{regime_shapes[name]}, got "
+                    f"{stats2.get('wstr_declined')}"
                 )
     con.close()
     if failures:
