@@ -145,7 +145,7 @@ def main() -> None:
         default_gate = sort_ops.GP_COMPOSITE_MIN_ROWS
         orig_ck = sort_ops._composite_key
         if gate == "pre_r11":
-            sort_ops._composite_key = lambda df, ks, kc, sk, b: (None, {})
+            sort_ops._composite_key = lambda *a, **kw: (None, {})
         elif gate is not None:
             sort_ops.GP_COMPOSITE_MIN_ROWS = gate
         stats: dict = {}

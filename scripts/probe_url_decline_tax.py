@@ -91,7 +91,7 @@ def main() -> None:
         for label in arms:
             if label == "url_suppressed":
                 sort_ops._composite_key = (
-                    lambda df, ks, kc, sk, b, info=None: (None, {})
+                    lambda *a, **kw: (None, {})
                 )
             stats: dict = {}
             try:

@@ -107,7 +107,7 @@ def main() -> None:
         for label, (keys, packed, want_fields) in arms.items():
             if not packed:
                 sort_ops._composite_key = (
-                    lambda df, ks, kc, sk, b, info=None: (None, {})
+                    lambda *a, **kw: (None, {})
                 )
             stats: dict = {}
             try:

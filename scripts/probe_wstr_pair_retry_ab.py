@@ -23,14 +23,26 @@ Arms:
 
   pair_packed    (cat, doc, wide_id) — retry-enabled (cat+doc fold,
                  wide_id singleton): 2 search fields; build pays BOTH
-                 exact countDistinct injectivity gates in one agg
+                 exact countDistinct injectivity gates in one agg.
+                 Since r15 the leading-prefix regime gate would decline
+                 this shape at the default 100k cats, so this arm
+                 suppresses the gate (GP_REGIME_MIN_SAMPLE_FACTOR
+                 maxed) to keep measuring the r13/r14 packed path
   pair_declined  same keys, _composite_key suppressed: 3-field struct
                  search, no dict premap (both string domains exceed
                  GP_DICT_RANK_MAX_KEYS), UTF8 compares in search AND
-                 window sort
+                 window sort — and none of job A's pre-aggregates
+  pair_regime    same keys, SHIPPED r15 default path: the regime gate
+                 fires on the near-unique leading cat (sample-distinct
+                 ~98k >= rows-per-bucket ~16.4k) and declines both
+                 wstr fields with reason 'regime' before the exact
+                 injectivity agg or any encode — pays job A only.
+                 Expect wall ~= pair_packed minus the build tax the
+                 r13/r14 probes measured (~30s/100M), exec ~neutral
   ts_packed      (seg, ts, wide_id) — POSITIVE CONTROL: the r10-r12
                  grouped shape (measured exec 0.60-0.79 across three
                  rounds); reproducing it validates the method window
+                 (no wstr fields — the regime gate never touches it)
   ts_declined    same keys, suppressed
 
 --cats=N sets the leading field's cardinality (default 100_000). The
@@ -151,10 +163,11 @@ def main() -> None:
     )
 
     arms = {
-        "pair_packed": (("cat", "doc", "wide_id"), True, 2),
-        "pair_declined": (("cat", "doc", "wide_id"), False, 3),
-        "ts_packed": (("seg", "ts", "wide_id"), True, 2),
-        "ts_declined": (("seg", "ts", "wide_id"), False, 3),
+        "pair_packed": (("cat", "doc", "wide_id"), "pack", 2),
+        "pair_declined": (("cat", "doc", "wide_id"), "suppress", 3),
+        "pair_regime": (("cat", "doc", "wide_id"), "default", 3),
+        "ts_packed": (("seg", "ts", "wide_id"), "pack", 2),
+        "ts_declined": (("seg", "ts", "wide_id"), "suppress", 3),
     }
     if ONLY_ARMS:
         arms = {a: arms[a] for a in ONLY_ARMS}
@@ -164,12 +177,17 @@ def main() -> None:
     calibs = [c_start]
 
     orig_ck = sort_ops._composite_key
+    orig_factor = sort_ops.GP_REGIME_MIN_SAMPLE_FACTOR
     for r in range(REPEATS):
-        for label, (keys, packed, want_fields) in arms.items():
-            if not packed:
+        for label, (keys, mode, want_fields) in arms.items():
+            if mode == "suppress":
                 sort_ops._composite_key = (
-                    lambda df, ks, kc, sk, b, info=None: (None, {})
+                    lambda *a, **kw: (None, {})
                 )
+            elif mode == "pack":
+                # keep the pre-r15 packed path measurable: an impossible
+                # engagement floor makes the regime gate inert
+                sort_ops.GP_REGIME_MIN_SAMPLE_FACTOR = 1 << 62
             stats: dict = {}
             try:
                 t0 = time.perf_counter()
@@ -183,7 +201,10 @@ def main() -> None:
                 t1 = time.perf_counter()
             finally:
                 sort_ops._composite_key = orig_ck
-            assert stats["composite_key"] is packed, (label, stats)
+                sort_ops.GP_REGIME_MIN_SAMPLE_FACTOR = orig_factor
+            assert stats["composite_key"] is (
+                mode == "pack" or (mode == "default" and label.startswith("ts"))
+            ), (label, stats)
             assert stats["search_fields"] == want_fields, (label, stats)
             if label == "pair_packed":
                 assert stats.get("wstr_packed_fields") == [0, 1], (label, stats)
@@ -192,6 +213,13 @@ def main() -> None:
                         label,
                         stats,
                     )
+            if label == "pair_regime" and N_CATS == 100_000:
+                # the arm is only meaningful when the gate actually
+                # fired, for the right reason, on both wstr fields
+                assert stats.get("wstr_declined") == {
+                    0: "regime",
+                    1: "regime",
+                }, (label, stats)
             walls[label].append(round(t1 - t0, 1))
             builds[label].append(round(t_mid - t0, 1))
             execs[label].append(round(t1 - t_mid, 1))
@@ -221,6 +249,8 @@ def main() -> None:
     }
     for pair, tag in (
         (("pair_packed", "pair_declined"), "pair"),
+        (("pair_regime", "pair_packed"), "regime_over_packed"),
+        (("pair_regime", "pair_declined"), "regime_over_suppressed"),
         (("ts_packed", "ts_declined"), "ts"),
     ):
         if pair[0] in arms and pair[1] in arms:
