@@ -138,6 +138,7 @@ def main() -> int:
             "keyed_fanout_name",
             "keyed_fanout_url",
             "keyed_fanout_pair",
+            "keyed_fanout_unique",
         }
         if not failures and (not ONLY or ONLY & gp_names):
             import verify_gp_grouped_registered as gp
