@@ -257,7 +257,12 @@ GP_COMPOSITE_MIN_ROWS = 20_000_000
 #: agg) runs 11-21% of wall at 100M (SCALING.md rounds 13-14; exec
 #: ratio 1.03 at the 100k-cat regime vs 0.92 at 2k and 0.70 at 8).
 #: The decision quantity is sample-distinct(prefix through the leading
-#: field) ≥ rows-per-bucket (= ties per bucket sort), a one-sided-safe
+#: field) ≥ rows-per-bucket (the per-bucket window-sort size; an
+#: EMPIRICAL normalization of the r13-r14 bracket, not a run-length
+#: argument — at the firing point prefix-tied runs are still ~n_buckets
+#: rows long, yet the measured exec crossover sits between the 2k-cat
+#: win at 0.92 and the 100k-cat loss at 1.03 at 100M, i.e. between
+#: 0.12× and 6× this threshold), a one-sided-safe
 #: LOWER bound on true cardinality — but only decisive when the sample
 #: is at least this factor × rows-per-bucket, else the gate stays
 #: inert (sample-distinct saturates at the sample size). With mod-256

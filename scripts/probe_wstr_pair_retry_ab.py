@@ -202,10 +202,17 @@ def main() -> None:
             finally:
                 sort_ops._composite_key = orig_ck
                 sort_ops.GP_REGIME_MIN_SAMPLE_FACTOR = orig_factor
-            assert stats["composite_key"] is (
-                mode == "pack" or (mode == "default" and label.startswith("ts"))
-            ), (label, stats)
-            assert stats["search_fields"] == want_fields, (label, stats)
+            # pair_regime's gate outcome is cardinality-dependent (the
+            # gate fires iff sample-distinct(cat) >= rows-per-bucket
+            # ~16.4k at 100M), so like the window assertions its
+            # expectations are pinned only for the default cardinality —
+            # at e.g. --cats=2000 the gate legitimately stays inert and
+            # the composite engages
+            if not (label == "pair_regime" and N_CATS != 100_000):
+                assert stats["composite_key"] is (
+                    mode == "pack" or (mode == "default" and label.startswith("ts"))
+                ), (label, stats)
+                assert stats["search_fields"] == want_fields, (label, stats)
             if label == "pair_packed":
                 assert stats.get("wstr_packed_fields") == [0, 1], (label, stats)
                 if N_CATS == 100_000:
@@ -247,14 +254,17 @@ def main() -> None:
         "calib_matmul_sec": calibs,
         "load_avg": round(os.getloadavg()[0], 2),
     }
+    # key names state numerator_over_denominator exactly (the first cut
+    # reused a '_packed_over_declined' suffix for the regime pairs,
+    # mislabeling regime/packed as a packed/declined ratio)
     for pair, tag in (
-        (("pair_packed", "pair_declined"), "pair"),
+        (("pair_packed", "pair_declined"), "pair_packed_over_declined"),
         (("pair_regime", "pair_packed"), "regime_over_packed"),
         (("pair_regime", "pair_declined"), "regime_over_suppressed"),
-        (("ts_packed", "ts_declined"), "ts"),
+        (("ts_packed", "ts_declined"), "ts_packed_over_declined"),
     ):
         if pair[0] in arms and pair[1] in arms:
-            report[f"ratio_{tag}_packed_over_declined"] = round(
+            report[f"ratio_{tag}"] = round(
                 med(walls[pair[0]]) / med(walls[pair[1]]), 3
             )
             report[f"exec_ratio_{tag}"] = round(
