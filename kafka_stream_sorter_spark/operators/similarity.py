@@ -564,6 +564,7 @@ def ivf_kmeans_topk(
     k: int = 5,
     n_probe: int = 1,
     train_sample_mod: int | None = None,
+    eager_checkpoint: bool = False,
 ) -> DataFrame:
     """ANN with a TRAINED coarse quantizer: k-means (fixed ``n_iter`` Lloyd
     rounds, centroids seeded from vec_ids ``< n_clusters`` — the corpus
@@ -624,13 +625,23 @@ def ivf_kmeans_topk(
         train = base.filter(
             (F.pmod(F.xxhash64("vec_id"), F.lit(train_sample_mod)) == 0)
             | (F.col("vec_id") < n_clusters)
-        ).localCheckpoint()
+        ).localCheckpoint(eager=eager_checkpoint)
     else:
         # localCheckpoint: the training loop re-reads base n_iter+2 times
         # (seed collect, each round's assign + stats, final assignment);
         # without pinning, each pass re-runs the parquet scan + double cast
         # + the interpreted _micros_vec transform from scratch.
-        base = base.localCheckpoint()
+        # LAZY (eager=False, r16): the seed collect below is the first
+        # action over the checkpointed frame, so letting IT materialize
+        # the blocks folds (checkpoint job + seed job) into ONE pass over
+        # the corpus projection — the same lazy-checkpoint+first-action
+        # fold the CC loop uses (operators/dedup.py:_cc_loop). The seed
+        # filter sits ABOVE the checkpoint boundary, so every partition
+        # is still computed and cached by that job. One full corpus scan
+        # + _micros_vec transform saved at any scale; measured A/B in
+        # scripts/probe_ivf_ckpt_ab.py (r16). ``eager_checkpoint=True``
+        # is the probe dial for the pre-r16 behavior.
+        base = base.localCheckpoint(eager=eager_checkpoint)
         train = base
 
     seeds = (

@@ -351,3 +351,36 @@ def test_ivf_kmeans_sampled_training_dial(spark, sf_dir):
         emb, **kw, train_sample_mod=1_000_000_000
     ).toPandas()
     assert seeds_only.groupby("query_id").size().min() == 5
+
+
+def test_ivf_kmeans_lazy_checkpoint_dial(spark, sf_dir):
+    """r16 optimization — the training base's localCheckpoint is LAZY
+    (the seed collect materializes the blocks, folding checkpoint job +
+    seed job into one corpus pass, the _cc_loop pattern). Pins: (1) lazy
+    (the default) and eager produce IDENTICAL rows — the checkpoint mode
+    is pure execution strategy; (2) the fold really removes a job
+    (status-tracker job count strictly smaller lazy vs eager)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    kw = dict(query_ids=list(range(8, 20)), n_clusters=8, n_iter=2, k=5)
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    counts = {}
+    frames = {}
+    for name, eager in (("eager", True), ("lazy", False)):
+        sc.setJobGroup(f"ivf_ckpt_{name}", name)
+        try:
+            frames[name] = similarity.ivf_kmeans_topk(
+                emb, **kw, eager_checkpoint=eager
+            ).toPandas()
+        finally:
+            sc.setJobGroup(None, None)
+        counts[name] = len(tracker.getJobIdsForGroup(f"ivf_ckpt_{name}"))
+
+    key = ["query_id", "neighbor_id", "rank"]
+    assert sorted(map(tuple, frames["lazy"][key].values.tolist())) == sorted(
+        map(tuple, frames["eager"][key].values.tolist())
+    ), "checkpoint laziness must not change results"
+    assert counts["lazy"] < counts["eager"], (
+        f"lazy checkpoint should fold away >=1 job, got {counts}"
+    )
