@@ -69,6 +69,26 @@ def main() -> None:
     warmup_error = None
     try:
         QUERIES["sort_numeric"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # Python-worker warmup (r16): fork the worker daemons and pay the
+        # pandas/numpy/pyarrow imports ONCE, outside any timed query. The
+        # JVM warmup above leaves the Python side cold, and on this host a
+        # cold worker pool has billed 20-50 s to whichever Arrow-surface
+        # query ran first (measured: multimodal_meta first-shot 26.2 s vs
+        # 0.72 s warmed, bench_full_min3_r16 repeat vector). Workers are
+        # reused (spark.python.worker.reuse default), so one trivial
+        # mapInPandas pass over default-parallelism partitions warms the
+        # pool for every later Python-boundary query. Timing methodology
+        # is unchanged — this is startup cost excluded like JVM startup.
+        def _py_warm(batches):
+            import numpy  # noqa: F401 - imported for worker warmup
+            import pandas  # noqa: F401
+
+            yield from batches
+
+        n_warm = spark.sparkContext.defaultParallelism
+        spark.range(0, n_warm, 1, n_warm).mapInPandas(
+            _py_warm, "id long"
+        ).write.format("noop").mode("overwrite").save()
     except Exception as exc:  # noqa: BLE001 - the loop below reports the real
         # error; record the marker so a cold-measured round (per-query
         # timings that include first-touch JVM/footer overhead) is
@@ -222,6 +242,9 @@ def main() -> None:
         out["errors"] = errors
     if warmup_error is not None:
         out["warmup_error"] = warmup_error
+    # NOTE (r15 verdict item 5): `queries` holds FIRST-shot walls (r1-r8
+    # continuity); the headline `value` sums `queries_min` below — read
+    # per-query movers from `queries_min`, never from this dict.
     out["queries"] = dict(sorted(timings.items(), key=lambda kv: kv[1]))
     # repeat-count metadata + the min-of-N re-measurements, tail-positioned
     # so driver truncation keeps them
