@@ -227,7 +227,7 @@ def _band_signs(band: int) -> list[list[float]]:
     ]
 
 
-def hyperplane_bucket(emb: Column, band: int = 0) -> Column:
+def hyperplane_bucket(emb: Column | str, band: int = 0) -> Column:
     """Random-hyperplane LSH bucket id of an array<double> embedding:
     bit j = (emb · plane_j >= 0). Vectors at angle θ disagree on a bit with
     probability θ/π, so near-identical vectors share all LSH_BITS bits —
@@ -237,10 +237,35 @@ def hyperplane_bucket(emb: Column, band: int = 0) -> Column:
     default, is the registered-contract bucket with a DuckDB twin).
 
     The dot product is a left fold seeded with 0.0 in both engines, so the
-    float64 sum order — and therefore every bit — is bit-identical."""
+    float64 sum order — and therefore every bit — is bit-identical.
+
+    ``emb`` as a STRING (a SQL expression for the array<double> column) is
+    the fast build path (r16): the whole bucket expression renders as one
+    SQL string and parses in ~2 ms, where the per-element ``F.lit`` form
+    cost LSH_BITS×EMB_DIM = 1024 py4j round-trips (~0.65 s of serial
+    driver time per call site). The signs are exactly ±1.0, rendered with
+    the ``D`` suffix so they parse as the same float64 literals the lit
+    path built; fold seed and order are textually identical, so every
+    bit — and the DuckDB twin — is unchanged. A Column argument keeps the
+    old (general-expression) path for callers that pass casts."""
+    if isinstance(emb, str):
+        parts = []
+        for j, plane in enumerate(_band_signs(band)):
+            arr = "array(" + ",".join(f"{s:.1f}D" for s in plane) + ")"
+            dot = (
+                f"aggregate(zip_with({emb}, {arr}, (x, s) -> x * s), "
+                f"0.0D, (a, v) -> a + v)"
+            )
+            parts.append(
+                f"(CASE WHEN {dot} >= 0 THEN cast({1 << j} as bigint) "
+                f"ELSE cast(0 as bigint) END)"
+            )
+        return F.expr("cast(0 as bigint) + " + " + ".join(parts))
     acc = F.lit(0).cast("long")
     for j, plane in enumerate(_band_signs(band)):
-        signs = F.array(*[F.lit(s) for s in plane])
+        # one F.lit per PLANE (array<double> literal), never per element —
+        # CLAUDE.md driver-literal rule
+        signs = F.lit([float(s) for s in plane])
         dot = F.aggregate(
             F.zip_with(emb, signs, lambda x, s: x * s),
             F.lit(0.0),
@@ -269,7 +294,7 @@ def lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> DataFra
     assignment exists. Queries landing in singleton buckets return fewer
     than k rows (the standard LSH recall trade; widen with multi-probe)."""
     emb = _with_norm(
-        _as_double(embeddings).withColumn("bucket", hyperplane_bucket(F.col("embedding")))
+        _as_double(embeddings).withColumn("bucket", hyperplane_bucket("embedding"))
     )
     q = _query_frame(emb, query_ids, ["bucket"])
     cand = emb.join(
@@ -307,7 +332,7 @@ def lsh_topk_multiprobe(
     from itertools import combinations
 
     emb = _with_norm(
-        _as_double(embeddings).withColumn("bucket", hyperplane_bucket(F.col("embedding")))
+        _as_double(embeddings).withColumn("bucket", hyperplane_bucket("embedding"))
     )
     masks = [
         sum(1 << j for j in bits)
@@ -365,7 +390,7 @@ def embedding_near_dup_pairs(
     distribution's tail to keep the verify path exercised end-to-end."""
     emb = _as_double(embeddings)
     if n_bands == 1:
-        emb = _with_norm(emb.withColumn("bucket", hyperplane_bucket(F.col("embedding"))))
+        emb = _with_norm(emb.withColumn("bucket", hyperplane_bucket("embedding")))
         a, b = emb.alias("a"), emb.alias("b")
         joined = a.join(
             b,
@@ -393,7 +418,7 @@ def embedding_near_dup_pairs(
         emb.select(
             "*",
             *[
-                hyperplane_bucket(F.col("embedding"), band=i).alias(f"bk{i}")
+                hyperplane_bucket("embedding", band=i).alias(f"bk{i}")
                 for i in range(n_bands)
             ],
         )
@@ -470,7 +495,7 @@ def knn_self_join(embeddings: DataFrame, k: int = 3) -> DataFrame:
     each block executor-sized; vectors in singleton buckets yield no rows
     (the standard LSH recall trade — widen with multi-probe)."""
     emb = _with_norm(
-        _as_double(embeddings).withColumn("bucket", hyperplane_bucket(F.col("embedding")))
+        _as_double(embeddings).withColumn("bucket", hyperplane_bucket("embedding"))
     )
     a, b = emb.alias("a"), emb.alias("b")
     scored = a.join(
@@ -510,49 +535,56 @@ def _micros_vec(emb: Column) -> Column:
     return F.transform(emb, lambda v: F.floor(v * 1_000_000 + F.lit(0.5)).cast("long"))
 
 
-def _cluster_dists(
-    cent: dict[int, list[int]], xi: Column
-) -> tuple[list[int], list[Column]]:
-    """(ascending cluster ids, exact integer squared-L2 distance of ``xi``
-    to each centroid) — the shared kernel of the single-assignment and
-    multi-probe expressions below."""
-    ids = sorted(cent)
+def _dist_sql(c_vals: list[int], xi_sql: str) -> str:
+    """SQL text of the exact integer squared-L2 distance of ``xi_sql``
+    (an array<long> column/expression) to one centroid — the shared
+    kernel of the single-assignment and multi-probe expressions below.
 
-    def dist(c_vals: list[int]) -> Column:
-        lit = F.array(*[F.lit(int(v)) for v in c_vals])
-        return F.aggregate(
-            F.zip_with(xi, lit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    return ids, [dist(cent[i]) for i in ids]
-
-
-def _nearest_cluster(cent: dict[int, list[int]]) -> Column:
-    """Expression assigning the row's ``xi`` (array<long>) to the nearest
-    centroid by exact integer squared-L2; ties break to the lowest cluster
-    id (array_position returns the FIRST minimum; the centroid array is
-    built in ascending-id order)."""
-    ids, dist_cols = _cluster_dists(cent, F.col("xi"))
-    dists = F.array(*dist_cols)
-    idx = F.array_position(dists, F.array_min(dists)).cast("int")
-    return F.element_at(F.array(*[F.lit(int(i)) for i in ids]), idx)
-
-
-def _nearest_clusters(cent: dict[int, list[int]], p: int, xi: Column) -> Column:
-    """The ``p`` nearest cluster ids of ``xi``, nearest first — ties break
-    to the lowest cluster id (struct array_sort orders by (dist, id)), so
-    element 1 always equals :func:`_nearest_cluster`'s assignment."""
-    ids, dist_cols = _cluster_dists(cent, xi)
-    arr = F.array(
-        *[
-            F.struct(d.alias("d"), F.lit(int(i)).cast("int").alias("c"))
-            for i, d in zip(ids, dist_cols)
-        ]
+    Rendered as ONE SQL string instead of per-element ``F.lit`` columns
+    (r16): the old form cost 64 py4j round-trips per centroid plus the
+    higher-order-function lambda plumbing — ~0.75 s of SERIAL driver
+    time per assignment expression at 8×64 (profiled: 9165 py4j
+    send_commands for 3 builds), paid 3× per ivf_kmeans_topk call
+    (each Lloyd round + the final assignment); the rendered string
+    parses in ~2 ms into the IDENTICAL expression tree (same fold, same
+    int literal types — SQL int literals widen to BIGINT past 2^31
+    exactly like py4j Integer/Long), so execution and results are
+    bit-for-bit unchanged (pinned by test_ivf_kmeans_nprobe_dial's
+    brute-force equality and the registered oracle)."""
+    arr = "array(" + ",".join(str(int(v)) for v in c_vals) + ")"
+    return (
+        f"aggregate(zip_with({xi_sql}, {arr}, (a, b) -> (a - b) * (a - b)), "
+        f"cast(0 as bigint), (acc, v) -> acc + v)"
     )
-    return F.slice(
-        F.transform(F.array_sort(arr), lambda s: s["c"]), 1, min(p, len(ids))
+
+
+def _nearest_cluster(cent: dict[int, list[int]], xi_sql: str = "xi") -> Column:
+    """Expression assigning the row's ``xi_sql`` (array<long>) to the
+    nearest centroid by exact integer squared-L2; ties break to the lowest
+    cluster id (array_position returns the FIRST minimum; the centroid
+    array is built in ascending-id order)."""
+    ids = sorted(cent)
+    dists = "array(" + ",".join(_dist_sql(cent[i], xi_sql) for i in ids) + ")"
+    ids_arr = "array(" + ",".join(str(int(i)) for i in ids) + ")"
+    return F.expr(
+        f"element_at({ids_arr}, "
+        f"cast(array_position({dists}, array_min({dists})) as int))"
+    )
+
+
+def _nearest_clusters(cent: dict[int, list[int]], p: int, xi_sql: str) -> Column:
+    """The ``p`` nearest cluster ids of ``xi_sql``, nearest first — ties
+    break to the lowest cluster id (struct array_sort orders by (dist,
+    id)), so element 1 always equals :func:`_nearest_cluster`'s
+    assignment. Same one-parse SQL rendering as :func:`_dist_sql`."""
+    ids = sorted(cent)
+    structs = ",".join(
+        f"named_struct('d', {_dist_sql(cent[i], xi_sql)}, 'c', cast({int(i)} as int))"
+        for i in ids
+    )
+    return F.expr(
+        f"slice(transform(array_sort(array({structs})), s -> s.c), "
+        f"1, {min(p, len(ids))})"
     )
 
 
@@ -692,8 +724,12 @@ def ivf_kmeans_topk(
             & (F.col("vec_id") != F.col("query_id")),
         )
     else:
-        probes = _nearest_clusters(cent, n_probe, _micros_vec(F.col("q_emb")))
-        qp = q.withColumn("probe", F.explode(probes))
+        probes = _nearest_clusters(cent, n_probe, "_q_xi")
+        qp = (
+            q.withColumn("_q_xi", _micros_vec(F.col("q_emb")))
+            .withColumn("probe", F.explode(probes))
+            .drop("_q_xi")
+        )
         cand = final.join(
             F.broadcast(qp),
             (F.col("cluster") == F.col("probe"))
