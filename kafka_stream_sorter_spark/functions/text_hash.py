@@ -89,6 +89,28 @@ def minhash_signature(tok_hashes: Column) -> list[Column]:
     ]
 
 
+def spark_sql_minhash_exprs(g_sql: str) -> list[str]:
+    """Spark-SQL texts of the 16 MinHash values over a PREMIXED
+    token-hash array column/expression ``g_sql`` (= cube premix of the
+    token hashes, :func:`_cube_mix` — the caller projects it once, like
+    the DuckDB twin's :func:`sql_minhash` contract) — the SAME
+    permutation expressions :func:`minhash_signature` builds from Column
+    objects, rendered as strings so one ``F.expr`` parse replaces ~80
+    py4j round-trips of higher-order-lambda plumbing per permutation
+    (r16: 1296 → ~150 round-trips per signature build; profiled in
+    OPTIMIZATION_r16.md). Arithmetic is textually the Column form's —
+    ``(g*a + b) % P`` per permutation, integer literals only, so values
+    are bit-identical (pinned by tests/test_minhash_random.py's replica
+    and the registered oracles). Kept adjacent to
+    :func:`minhash_signature` and :func:`sql_minhash` so the three-way
+    lockstep (Spark / DuckDB twin / Python replica) stays reviewable in
+    one file."""
+    return [
+        f"array_min(transform({g_sql}, g -> (g * {a} + {b}) % {P}))"
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    ]
+
+
 def band_bucket(minhashes: list[Column]) -> Column:
     """Folds one band's LSH_ROWS minhash columns into a single bucket id via
     the same polynomial fold as char hashing (all intermediates < 32*P)."""
@@ -101,6 +123,17 @@ def band_bucket(minhashes: list[Column]) -> Column:
 def sql_band_bucket(mh_exprs: list[str]) -> str:
     """DuckDB twin of band_bucket."""
     acc = "0::BIGINT"
+    for e in mh_exprs:
+        acc = f"(({acc}) * 31 + {e}) % {P}"
+    return acc
+
+
+def spark_sql_band_bucket(mh_exprs: list[str]) -> str:
+    """Spark-SQL text of :func:`band_bucket`'s fold — the same
+    ``(acc*31 + mh) % P`` chain rendered as a string (r16 build-cost
+    rule; see :func:`spark_sql_minhash_exprs`). Textually mirrors
+    :func:`sql_band_bucket` with Spark's cast syntax."""
+    acc = "cast(0 as bigint)"
     for e in mh_exprs:
         acc = f"(({acc}) * 31 + {e}) % {P}"
     return acc

@@ -28,8 +28,6 @@ _LOG = logging.getLogger(__name__)
 from kafka_stream_sorter_spark.functions.text_hash import (
     LSH_BANDS,
     LSH_ROWS,
-    band_bucket,
-    minhash_signature,
     token_hashes,
 )
 from kafka_stream_sorter_spark.operators.text import tokens
@@ -234,29 +232,65 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.95) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """16-permutation MinHash signature per document (portable integer
-    hashing). At scale this is a pure map stage."""
+    hashing). At scale this is a pure map stage.
+
+    r16 optimization, two effects:
+    * BUILD: the 16 permutation expressions parse from SQL text
+      (functions/text_hash.spark_sql_minhash_exprs) instead of being
+      built column-by-column — ~150 py4j round-trips per build instead
+      of 1296 (the 18 higher-order lambdas dominated serial driver time).
+    * EXECUTION: the premixed token-hash array is projected ONCE as
+      ``_g``. The old form embedded the full tokenize → per-char
+      polynomial hash → cube-premix subtree inside EVERY mh column, and
+      CollapseProject happily inlined it — the executed plan hashed each
+      document's text 16 times per row (visible in
+      plans/r16/dedup_minhash_sig_before.txt). With ``_g`` in its own
+      projection Spark keeps the boundary (expensive + multi-use), so
+      tokenization+hashing+premix run once per row and the 16
+      permutations are cheap integer maps over the cached array.
+    Values are bit-identical (replica test + registered oracles); the
+    premix-shared-by-all-permutations contract already matched the
+    DuckDB twin (sql_minhash takes the premixed g_expr)."""
+    from kafka_stream_sorter_spark.functions.text_hash import (
+        _cube_mix,
+        spark_sql_minhash_exprs,
+    )
+
     th = token_hashes(F.array_distinct(tokens(F.col("text"))))
-    sig = minhash_signature(th)
-    return docs.select(
-        "doc_id", *[s.alias(f"mh{i}") for i, s in enumerate(sig)]
+    base = docs.select("doc_id", F.transform(th, _cube_mix).alias("_g"))
+    return base.select(
+        "doc_id",
+        *[
+            F.expr(s).alias(f"mh{i}")
+            for i, s in enumerate(spark_sql_minhash_exprs("_g"))
+        ],
     )
 
 
 def minhash_band_buckets(docs: DataFrame) -> DataFrame:
     """LSH banding: LSH_BANDS bands × LSH_ROWS rows — band key folds the
-    band's minhashes into one bucket id. Output: (doc_id, band, bucket)."""
-    sigs = minhash_signatures(docs)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).cast("long").alias("band"),
-                band_bucket(
-                    [F.col(f"mh{LSH_ROWS * i + r}") for r in range(LSH_ROWS)]
-                ).alias("bucket"),
-            )
-            for i in range(LSH_BANDS)
-        ]
+    band's minhashes into one bucket id. Output: (doc_id, band, bucket).
+
+    The band-struct array parses from SQL text (one ``F.expr``) instead
+    of per-band Column folds — same ``(acc*31 + mh) % P`` chain
+    (functions/text_hash.spark_sql_band_bucket), ~700 fewer py4j
+    round-trips per build (r16; values pinned bit-identical by the
+    registered oracles and tests/test_minhash_random.py)."""
+    from kafka_stream_sorter_spark.functions.text_hash import (
+        spark_sql_band_bucket,
     )
+
+    sigs = minhash_signatures(docs)
+    structs = ",".join(
+        "named_struct('band', cast({i} as bigint), 'bucket', {fold})".format(
+            i=i,
+            fold=spark_sql_band_bucket(
+                [f"mh{LSH_ROWS * i + r}" for r in range(LSH_ROWS)]
+            ),
+        )
+        for i in range(LSH_BANDS)
+    )
+    bands = F.expr(f"array({structs})")
     return sigs.select("doc_id", F.explode(bands).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
