@@ -1616,10 +1616,20 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
         ).drop(pos_col)
     else:
         bucketed = bucketed.withColumn("_gp_bucket", F.lit(0).cast("int"))
-    counts = (
-        bucketed.groupBy("_gp_bucket").count().orderBy("_gp_bucket").collect()
-    )
-    by_bucket = {r["_gp_bucket"]: r["count"] for r in counts}
+    if not bounds and stats is None:
+        # Single-bucket degenerate (tiny tables / the sf0.01 driver gate):
+        # the offsets array is [0] no matter what the count job returns —
+        # the global position IS the window row_number. Skip the exact
+        # bucket-count pass entirely; one fewer keys-only job per call
+        # (r16). Kept when ``stats`` is requested so the probe/test
+        # observability fields (total_rows, max_bucket_rows, …) stay
+        # exact; positions are unaffected either way.
+        by_bucket: dict[int, int] = {}
+    else:
+        counts = (
+            bucketed.groupBy("_gp_bucket").count().orderBy("_gp_bucket").collect()
+        )
+        by_bucket = {r["_gp_bucket"]: r["count"] for r in counts}
     # prefix-sum over EVERY bucket id (empty buckets included, offset =
     # running total) → a ≤GP_MAX_BUCKETS-entry literal array; the per-row offset is
     # element_at(literal, bucket+1) — a constant-folded O(1) lookup, NOT
