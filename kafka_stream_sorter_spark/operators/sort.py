@@ -390,19 +390,18 @@ def _composite_key(
     call site and unit test — get the gate disabled, never a changed
     grouping.
 
-    Pre-job accounting (both keys-only scans, caller-gated on
-    est_rows ≥ GP_COMPOSITE_MIN_ROWS so fixture-scale tables never pay):
-      B. one exact-distinct over ALL candidate string fields at once
-         via explode(array(struct(field_idx, value))) (skipped when
-         none), limit-bounded so the collect can never exceed
-         fields × (GP_DICT_RANK_MAX_KEYS + 2) + 1 rows;
-      A. one global agg — min/max per integral/timestamp field, over
-         the ENCODED exprs so the driver receives longs (skipped when
-         none).
-    B runs FIRST (r10 ADVICE, low): when a string demotion kills the
-    only viable adjacency the full-table min/max scan is skipped
-    entirely, and B's result is never wasted in the converse case —
-    the returned rmaps feed `_dict_rank_maps` as precomputed domains."""
+    Pre-job accounting (caller-gated on est_rows ≥
+    GP_COMPOSITE_MIN_ROWS so fixture-scale tables never pay): ONE fused
+    keys-only aggregation (r17, r16 verdict item 1 — formerly two
+    scans, job B string-distinct then job A min/max) computing, in a
+    single pass: min/max per integral/timestamp/float field over the
+    ENCODED exprs (longs reach the driver), raw min/max + octet/NUL
+    stats per string candidate, and the exact sorted domain (as
+    sort_array(collect_set), sliced executor-side to
+    GP_DICT_RANK_MAX_KEYS + 1 values with its exact size) per
+    sample-classified low-card string — the exact size replaces the old
+    attributed-truncation loop, and the returned rmaps feed
+    `_dict_rank_maps` as precomputed domains."""
     from pyspark.sql import types as T
 
     from kafka_stream_sorter_spark.functions.numeric import (
@@ -524,149 +523,136 @@ def _composite_key(
     # for e.g. (float, int) or a high-card-sampled string pair)
     if not any(packable[i] and packable[i + 1] for i in range(len(keys) - 1)):
         return None, rmaps
-    # Job B first (r10 ADVICE, low): the string distinct is the cheaper
-    # scan and its result is reusable either way (pre_rmaps), while job
-    # A's full-table min/max is pure waste if a string demotion below
-    # kills the only viable adjacency.
+    # FUSED stats pre-job (r17, r16 verdict item 1): the former job B
+    # (exact low-card string domains) and job A (per-field min/max +
+    # wide-string window stats) ride ONE keys-only aggregation — one
+    # full scan of the key columns instead of two at any scale. The
+    # exact per-field distinct count comes free as size(collect_set),
+    # so the r12 attributed-truncation loop collapses: cardinality is
+    # exact per field, never a shared-limit attribution problem. The
+    # domain arrays are sliced EXECUTOR-side (on the final aggregation
+    # task) to GP_DICT_RANK_MAX_KEYS + 1 entries, so the driver
+    # transfer stays bounded exactly as the old limit-bounded collect
+    # was. Every sample-classified low-card string also aggregates its
+    # wide-string stats (min/max/octet/NUL) speculatively: O(1) scalar
+    # aggs riding the same scan, making an exact-cardinality
+    # reclassification (str → wstr) free instead of a second job.
+    # Trade recorded: a field whose boundary sample showed ≤
+    # GP_DICT_RANK_MAX_KEYS distinct values but whose true domain is
+    # enormous (possible only under extreme value skew — the sample is
+    # hash-mod selected, layout-independent, and ≥ tens of thousands of
+    # rows at the scales where this path engages) now builds that
+    # domain in collect_set agg buffers instead of a limit-bounded
+    # distinct; the failure mode is a slow or loudly-failing job, never
+    # wrong positions.
+    def _agg_enc(i: int):
+        # integral/timestamp/float fields aggregate the ENCODED exprs so
+        # the driver receives longs — min/max commute with the monotone
+        # encodes, and no Python-side datetime→micros conversion can
+        # disagree with the JVM's here. Float fields mask NaN out of the
+        # agg: NaN takes the compact top code (span+2) instead of its
+        # huge canonical-slot magnitude (which would blow the width past
+        # 63 whenever any NaN exists).
+        if i in flt_idx:
+            return F.when(
+                F.isnan(kcols[i]), F.lit(None).cast("long")
+            ).otherwise(enc[i])
+        return enc[i]
+
+    # String candidates (sample-classified wide AND low-card) aggregate
+    # the RAW strings: min/max of the prefix encode equals the encode of
+    # min/max (monotonicity), but the driver also needs the strings
+    # themselves to derive the common-prefix skip before any encode
+    # exists. octet_length/NUL feed the trivial-injectivity shortcut:
+    # if every value's bytes fit inside the window and none ends with a
+    # NUL byte, the window IS the whole tail and injectivity is
+    # automatic — no countDistinct job. ascii(reverse(s)) == 0 flags a
+    # trailing U+0000 and (conservatively) the empty string; a false
+    # flag only costs the exact job, never soundness.
+    sstat_idx = sorted(set(wstr_idx) | set(str_idx))
+    agg_df = df.agg(
+        *[
+            a
+            for i in int_idx
+            for a in (
+                F.min(_agg_enc(i)).alias(f"lo{i}"),
+                F.max(_agg_enc(i)).alias(f"hi{i}"),
+            )
+        ],
+        *[
+            a
+            for i in sstat_idx
+            for a in (
+                F.min(kcols[i]).alias(f"slo{i}"),
+                F.max(kcols[i]).alias(f"shi{i}"),
+                F.max(F.octet_length(kcols[i])).alias(f"slen{i}"),
+                F.max(
+                    F.when(
+                        F.ascii(F.reverse(kcols[i])) == 0, F.lit(1)
+                    ).otherwise(F.lit(0))
+                ).alias(f"snul{i}"),
+            )
+        ],
+        *[
+            F.sort_array(F.collect_set(kcols[i])).alias(f"rawdom{i}")
+            for i in str_idx
+        ],
+    )
+    if str_idx:
+        agg_df = agg_df.select(
+            *[F.col(c) for c in agg_df.columns if not c.startswith("rawdom")],
+            *[
+                e
+                for i in str_idx
+                for e in (
+                    F.slice(
+                        F.col(f"rawdom{i}"), 1, GP_DICT_RANK_MAX_KEYS + 1
+                    ).alias(f"dom{i}"),
+                    F.size(F.col(f"rawdom{i}")).alias(f"dcnt{i}"),
+                )
+            ],
+        )
+    agg_row = agg_df.collect()[0]
     if str_idx:
 
         def _to_wstr(i: int) -> None:
             # a sampled-low but exactly-WIDE string domain is not dead:
             # it is precisely the wide-string prefix-pack candidate class
             # (r12) — reclassify instead of demoting, keeping packable
-            # (the wstr gate chain takes over after job A). Without this,
-            # a key-clustered boundary sample that underestimates a doc
+            # (the wstr gate chain takes over; its min/max/octet/NUL
+            # stats were aggregated speculatively above, so the
+            # reclassification costs no second job). Without this, a
+            # key-clustered boundary sample that underestimates a doc
             # id's cardinality would silently strand it on the struct
             # path; the driver-gate fixture hits the same shape at small
             # scale, where every sample is tiny.
             kinds[i] = "wstr"
             wstr_idx.append(i)
 
-        # Truncation is ATTRIBUTED, not blanket-demoted (r12): a field
-        # with > GP_DICT_RANK_MAX_KEYS distinct values SEEN in the
-        # truncated collection is definitively wide → reclassify it and
-        # re-run the bounded distinct for the remainder (whose rows the
-        # flood may have crowded out). Truncation always implies such a
-        # flood — pending fields can contribute at most
-        # len(pending) × (MAX + 1 incl. a null row) < lim rows otherwise
-        # — so each round removes ≥1 field and the loop is bounded by
-        # the string-field count; the common case stays ONE job. The old
-        # behavior demoted EVERY string candidate on one unattributable
-        # overflow, which at fixture scale stranded (segment, name) keys
-        # on the struct path: a tiny boundary sample classifies the name
-        # low-card, its exact domain floods the shared limit, and the
-        # blanket demotion killed the genuinely-3-bit segment rank too.
-        pending = list(str_idx)
-        while pending:
-            lim = len(pending) * (GP_DICT_RANK_MAX_KEYS + 2)
-            rows = (
-                df.select(
-                    F.explode(
-                        F.array(
-                            *[
-                                F.struct(
-                                    F.lit(i).alias("i"), kcols[i].alias("v")
-                                )
-                                for i in pending
-                            ]
-                        )
-                    ).alias("x")
-                )
-                .select("x.i", "x.v")
-                .distinct()
-                # lim + 1 so a total distinct count of EXACTLY lim is not
-                # falsely flagged as truncation (r10 ADVICE, low)
-                .limit(lim + 1)
-                .collect()
-            )
-            by_field: dict[int, set] = {i: set() for i in pending}
-            for r in rows:
-                if r["v"] is not None and r["i"] in by_field:
-                    by_field[r["i"]].add(r["v"])
-            if len(rows) > lim:
-                floods = [
-                    i
-                    for i in pending
-                    if len(by_field[i]) > GP_DICT_RANK_MAX_KEYS
-                ]
-                for i in floods:
-                    _to_wstr(i)
-                pending = [i for i in pending if i not in floods]
+        for i in str_idx:
+            if agg_row[f"dcnt{i}"] > GP_DICT_RANK_MAX_KEYS:
+                _to_wstr(i)
                 continue
-            for i in pending:
-                if len(by_field[i]) > GP_DICT_RANK_MAX_KEYS:
-                    _to_wstr(i)
-                    continue
-                rmaps[i] = {
-                    v: j for j, v in enumerate(sorted(by_field[i]))
-                }
-                if any(b[i] not in rmaps[i] for b in bounds):
-                    packable[i] = False  # belt: unmappable bound value
-            break
-        # re-check adjacency after demotions: if strings gated the only
-        # viable pair, bail before paying job A's full-table scan
+            rmaps[i] = {
+                v: j for j, v in enumerate(sorted(agg_row[f"dom{i}"]))
+            }
+            if any(b[i] not in rmaps[i] for b in bounds):
+                packable[i] = False  # belt: unmappable bound value
+        # re-check adjacency after belt demotions: if the bounds belt
+        # gated the only viable pair, bail before any per-row encoding
         if not any(
             packable[i] and packable[i + 1] for i in range(len(keys) - 1)
         ):
             return None, rmaps
     lo: dict[int, int] = {}
     span: dict[int, int] = {}
-    wstr_idx.sort()  # job-B reclassifications append out of key order
-    if int_idx or wstr_idx:
-        # aggregate the ENCODED exprs so the driver receives longs —
-        # min/max commute with the monotone encodes, and no Python-side
-        # datetime→micros conversion can disagree with the JVM's here.
-        # Float fields mask NaN out of the agg: NaN takes the compact
-        # top code (span+2) instead of its huge canonical-slot magnitude
-        # (which would blow the width past 63 whenever any NaN exists).
-        # Wide-string fields aggregate the RAW strings: min/max of the
-        # prefix encode equals the encode of min/max (monotonicity), but
-        # the driver also needs the strings themselves to derive the
-        # common-prefix skip before any encode exists.
-        def _agg_enc(i: int):
-            if i in flt_idx:
-                return F.when(
-                    F.isnan(kcols[i]), F.lit(None).cast("long")
-                ).otherwise(enc[i])
-            return enc[i]
-
-        agg_row = df.agg(
-            *[
-                a
-                for i in int_idx
-                for a in (
-                    F.min(_agg_enc(i)).alias(f"lo{i}"),
-                    F.max(_agg_enc(i)).alias(f"hi{i}"),
-                )
-            ],
-            *[
-                a
-                for i in wstr_idx
-                for a in (
-                    F.min(kcols[i]).alias(f"slo{i}"),
-                    F.max(kcols[i]).alias(f"shi{i}"),
-                    # for the trivial-injectivity shortcut: if every
-                    # value's bytes fit inside the window and none ends
-                    # with a NUL byte, the window IS the whole tail and
-                    # injectivity is automatic — no countDistinct job.
-                    # ascii(reverse(s)) == 0 flags a trailing U+0000 and
-                    # (conservatively) the empty string; a false flag
-                    # only costs the exact job, never soundness.
-                    F.max(F.octet_length(kcols[i])).alias(f"slen{i}"),
-                    F.max(
-                        F.when(
-                            F.ascii(F.reverse(kcols[i])) == 0, F.lit(1)
-                        ).otherwise(F.lit(0))
-                    ).alias(f"snul{i}"),
-                )
-            ],
-        ).collect()[0]
-        for i in int_idx:
-            if agg_row[f"lo{i}"] is None:  # all-null field: code is always 0
-                lo[i], span[i] = 0, -1
-            else:
-                lo[i] = int(agg_row[f"lo{i}"])
-                span[i] = int(agg_row[f"hi{i}"]) - lo[i]
+    wstr_idx.sort()  # reclassifications append out of key order
+    for i in int_idx:
+        if agg_row[f"lo{i}"] is None:  # all-null field: code is always 0
+            lo[i], span[i] = 0, -1
+        else:
+            lo[i] = int(agg_row[f"lo{i}"])
+            span[i] = int(agg_row[f"hi{i}"]) - lo[i]
     # Wide-string prefix pack (r11 verdict item 4). Per candidate field:
     #   1. skip = the common byte prefix of (min, max) — shared by EVERY
     #      value (lexicographic order: min ≤ v ≤ max and min, max start

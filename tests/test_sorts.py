@@ -1077,3 +1077,66 @@ def test_pair_wide_tiebreak_no_int64_overflow_beyond_gate_scales(spark):
     assert len(set(expect.values())) == len(ids)
     assert expect[262_143] > expect[99_999] > expect[1] > expect[0]
     assert max(expect.values()) == (1 << 63) - 1
+
+
+def test_composite_key_fused_stats_single_job(spark):
+    """r17 (r16 verdict item 1): _composite_key's stats pre-work — the
+    exact low-card string domain (former job B) and the per-field
+    min/max aggregates (former job A) — must ride ONE keys-only Spark
+    job, not two. Pinned via the status tracker like the ivf lazy-
+    checkpoint dial; the pack itself and the rank map must be what the
+    two-job implementation produced.
+
+    Also covers the exact-cardinality reclassification in the SAME
+    single job: a sampled-low string whose true domain overflows
+    GP_DICT_RANK_MAX_KEYS reclassifies to the wide-string path using
+    the speculative min/max/octet/NUL stats, with no extra job (its
+    window here covers the whole tail, so the trivial-injectivity
+    shortcut also skips the deferred countDistinct job)."""
+    n = 400
+    kcols = [F.col("k"), F.col("tb")]
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    # AQE turns one query into one job per query stage; disable it so
+    # the tracker counts QUERIES (what this pin is about), not stages
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    # low-card string + long: must pack with a rank map, in exactly 1 job
+    rows64 = [(f"s{i % 8:02d}", i) for i in range(n)]
+    df64 = spark.createDataFrame(rows64, "k string, tb long")
+    sample_keys = [(f"s{i:02d}", i) for i in range(4)]
+    bounds = [("s03", 3)]
+    sc.setJobGroup("gp_fused_lowcard", "fused stats job count")
+    try:
+        comp, rmaps = sort_ops._composite_key(
+            df64, ("k", "tb"), kcols, sample_keys, bounds
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    n_jobs = len(tracker.getJobIdsForGroup("gp_fused_lowcard"))
+    assert comp is not None and [g["idx"] for g in comp] == [[0, 1]]
+    assert rmaps == {0: {f"s{i:02d}": i for i in range(8)}}
+    assert n_jobs == 1, f"fused stats pre-work must be 1 job, ran {n_jobs}"
+
+    # overflow domain: reclassifies str -> wstr and packs via the prefix
+    # window, still exactly 1 job (trivial-injectivity shortcut)
+    rows120 = [(f"s{i % 120:03d}", i) for i in range(n)]
+    df120 = spark.createDataFrame(rows120, "k string, tb long")
+    sample_keys2 = [("s000", 0), ("s001", 1)]
+    bounds2 = [("s001", 1)]
+    info: dict = {}
+    sc.setJobGroup("gp_fused_overflow", "fused reclassify job count")
+    try:
+        comp2, rmaps2 = sort_ops._composite_key(
+            df120, ("k", "tb"), kcols, sample_keys2, bounds2, info=info
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+    n_jobs2 = len(tracker.getJobIdsForGroup("gp_fused_overflow"))
+    assert comp2 is not None and info.get("wstr_packed_fields") == [0]
+    assert rmaps2 == {}
+    assert n_jobs2 == 1, (
+        f"reclassification must reuse the fused stats job, ran {n_jobs2}"
+    )
