@@ -343,34 +343,47 @@ def minhash_lsh_groups(docs: DataFrame) -> DataFrame:
 
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash signature: for each bit b, sum +1/-1 over token hashes'
-    b-th bit, then take the sign. Implemented as explode(tokens) ×
-    explode(bit positions) → two-level aggregation — pure DataFrame ops,
-    shuffles only (doc_id, bit) partial sums."""
-    masks = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("int").alias("b"),
-                F.lit(1 << b).cast("long").alias("mask"),
-            )
-            for b in range(bits)
-        ]
+    b-th bit, then take the sign.
+
+    MAP-ONLY since r17: each bit's signed count is one ``aggregate()``
+    higher-order fold over the per-doc token-hash array, so the whole
+    signature is a per-row projection — ZERO shuffles. The r16 form
+    exploded tokens × bit positions and two-level-aggregated the ±1
+    sums, shuffling ``bits`` rows per (doc, token) through a
+    (doc_id, bit) exchange and the per-doc sums through a second one;
+    at 100 TB that is 16× the corpus' token count crossing the network
+    for per-row-computable integer arithmetic. Results are
+    bit-identical: the per-bit sum is order-invariant integer
+    arithmetic over the same multiset of token hashes, and the
+    ``size > 0`` filter reproduces the explode semantics (docs with an
+    empty/null token set produced no rows, hence no output row).
+
+    The bit expressions render as ONE SQL string (the r16 driver-literal
+    rule: expression construction is serial driver time), and the token
+    array projects once as ``_th`` in its own select so the ``bits``
+    folds share one tokenize+hash pass per row — the projection-boundary
+    lesson from the r16 minhash fix (CollapseProject keeps a non-cheap
+    multi-referenced column in its own projection)."""
+    sh = " + ".join(
+        "(CASE WHEN aggregate(_th, 0L, (acc, h) -> acc + "
+        f"(CASE WHEN (h & {1 << b}L) != 0L THEN 1 ELSE -1 END)) >= 0 "
+        f"THEN {1 << b}L ELSE 0L END)"
+        for b in range(bits)
     )
-    th = docs.select(
-        "doc_id", F.explode(token_hashes(F.array_distinct(tokens(F.col("text"))))).alias("h")
-    )
-    per_bit = (
-        th.select("doc_id", "h", F.explode(masks).alias("bm"))
+    return (
+        # the exploded form dropped exactly the docs whose token array
+        # was null or empty; split() yields ≥1 element for ANY non-null
+        # text (all-whitespace included), so that set is precisely the
+        # null-text docs — filtered here as a plain IsNotNull the scan
+        # can push down (a size(_th) > 0 filter would instead be pushed
+        # below the projection and re-derive the whole tokenize+hash
+        # chain a second time per row)
+        docs.filter(F.col("text").isNotNull())
         .select(
             "doc_id",
-            F.col("bm.b").alias("b"),
-            F.col("bm.mask").alias("mask"),
-            F.when(F.col("h").bitwiseAND(F.col("bm.mask")) != 0, 1).otherwise(-1).alias("v"),
+            token_hashes(F.array_distinct(tokens(F.col("text")))).alias("_th"),
         )
-        .groupBy("doc_id", "b", "mask")
-        .agg(F.sum("v").alias("sv"))
-    )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("sv") >= 0, F.col("mask")).otherwise(0)).cast("long").alias("simhash")
+        .select("doc_id", F.expr(sh).cast("long").alias("simhash"))
     )
 
 
