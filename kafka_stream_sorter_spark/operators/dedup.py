@@ -109,15 +109,30 @@ def _prefix_filtered_jaccard(sets: DataFrame, threshold: float) -> DataFrame:
     prefix build, verification) and unpersisted before returning — the
     result is eagerly localCheckpoint-ed (pairs are a sliver of the
     corpus), so cached blocks don't accumulate across the three Jaccard
-    queries in a long-lived session."""
+    queries in a long-lived session. The prefix table is persisted too
+    (r17): it feeds BOTH sides of the candidate self-join, and without a
+    materialization each side re-runs the whole explode → df join →
+    per-doc window subtree — including a second full document-frequency
+    aggregation and a second window sort of the exploded corpus (the
+    executed plan really did embed the subtree twice;
+    plans/r17/dedup_jaccard_body_before.txt). One linear-cost cached
+    pass replacing a second corpus-wide shuffle+sort is the same trade
+    the g persist already makes."""
     g = sets.persist()
+    pinned: list[DataFrame] = []
     try:
-        return _prefix_filtered_jaccard_body(g, threshold).localCheckpoint()
+        return _prefix_filtered_jaccard_body(
+            g, threshold, pinned
+        ).localCheckpoint()
     finally:
         g.unpersist()
+        for df in pinned:
+            df.unpersist()
 
 
-def _prefix_filtered_jaccard_body(g: DataFrame, threshold: float) -> DataFrame:
+def _prefix_filtered_jaccard_body(
+    g: DataFrame, threshold: float, pinned: list | None = None
+) -> DataFrame:
     ex = g.select(
         "doc_id",
         "lang",
@@ -143,6 +158,11 @@ def _prefix_filtered_jaccard_body(g: DataFrame, threshold: float) -> DataFrame:
         .filter(F.col("_rn") <= prefix_len)
         .select("doc_id", "lang", "len_bucket", "n_items", "item", "_rn")
     )
+    if pinned is not None:
+        # both sides of the self-join below read this one materialization
+        # instead of each re-running explode → df join → window (r17)
+        prefix = prefix.persist()
+        pinned.append(prefix)
 
     # PPJoin-style positional filter (Xiao et al., WWW'08) on top of the
     # prefix match: J(A,B) ≥ t needs overlap α = ⌈t/(1+t)·(|A|+|B|)⌉, and
