@@ -53,6 +53,60 @@ DICT_SORT_MAX_KEYS = 256
 DICT_SORT_TIEBREAK_BOUND = 1 << 48
 
 
+def _lit_rank_map(rmap: dict):
+    """Driver-known ``{key value: rank}`` as a literal map Column.
+
+    Rendered as ONE parsed SQL string (the r16 driver-literal rule:
+    expression construction is SERIAL driver latency, invariant in data
+    size) — measured at the DICT_SORT_MAX_KEYS cap: ``F.create_map(
+    *[F.lit(x) ...])`` costs 2640 py4j round-trips ≈ 3.5 s of driver
+    wall per build, ``map_from_arrays`` of two ``F.lit(list)`` literals
+    still ~1050 ≈ 0.6 s (PySpark expands a list literal to one py4j
+    call PER ELEMENT), the SQL render ~10 ≈ 0.02 s. Runtime semantics
+    are identical in every form: the expression constant-folds to a map
+    literal whose lookup is the same per-row linear probe, which is why
+    the entry caps stay load-bearing.
+
+    Key rendering is EXACT per DICT-eligible type: integrals render as
+    bigint literals (lookup coercion casts the probed column up, never
+    the keys down), DateType as ``DATE 'iso'``, and strings render
+    verbatim only when every key passes the conservative
+    no-quote/no-backslash printable-ASCII gate — anything else falls
+    back to the ``F.lit``-list build, so no key value ever depends on
+    parser escape handling. Pinned per key type (DateType was the open
+    question that deferred this in r16) by
+    tests/test_sorts.py::test_lit_rank_map_key_types. Ranks render as
+    one long array so lookups return long directly."""
+    import datetime
+
+    ks = sorted(rmap)
+    vals_sql = "array(" + ",".join(f"{int(rmap[k])}L" for k in ks) + ")"
+    k0 = ks[0]
+    keys_sql = None
+    if isinstance(k0, bool):
+        keys_sql = None  # bools are not DICT-eligible; lit fallback
+    elif isinstance(k0, str):
+        if all(
+            k.isascii()
+            and k.isprintable()
+            and "'" not in k
+            and "\\" not in k
+            for k in ks
+        ):
+            keys_sql = "array(" + ",".join(f"'{k}'" for k in ks) + ")"
+    elif isinstance(k0, int):
+        keys_sql = "array(" + ",".join(f"{int(k)}L" for k in ks) + ")"
+    elif isinstance(k0, datetime.date) and not isinstance(
+        k0, datetime.datetime
+    ):
+        keys_sql = (
+            "array(" + ",".join(f"DATE '{k.isoformat()}'" for k in ks) + ")"
+        )
+    if keys_sql is not None:
+        return F.expr(f"map_from_arrays({keys_sql}, {vals_sql})")
+    return F.map_from_arrays(F.lit(ks), F.lit([int(rmap[k]) for k in ks]))
+
+
 def sort_with_tiebreak(df: DataFrame, key: str, tiebreak: str, dict_encode: bool = True) -> DataFrame:
     """Low-cardinality-key sort with a deterministic tie-break.
 
@@ -125,9 +179,9 @@ def sort_with_tiebreak(df: DataFrame, key: str, tiebreak: str, dict_encode: bool
         or max(his) >= DICT_SORT_TIEBREAK_BOUND
     ):
         return plain
-    rank = F.create_map(
-        *[F.lit(x) for i, k in enumerate(sorted(keys)) for x in (k, i)]
-    )[F.col(key)].cast("long")
+    rank = _lit_rank_map({k: i for i, k in enumerate(sorted(keys))})[
+        F.col(key)
+    ].cast("long")
     tb = F.col(tiebreak).cast("long")
     # NULL keys sort first under asc-nulls-first; give them negative
     # composites (rank -1) so the fast path agrees exactly.
@@ -1157,9 +1211,7 @@ def _composite_key(
             return F.coalesce(enc[i] - F.lit(lo[i]) + F.lit(1), F.lit(0))
         if not rmaps[i]:  # domain is {null}: code is constant 0
             return F.lit(0).cast("long")
-        lookup = F.create_map(
-            *[F.lit(x) for v, j in sorted(rmaps[i].items()) for x in (v, j)]
-        )[kcols[i]].cast("long")
+        lookup = _lit_rank_map(rmaps[i])[kcols[i]].cast("long")
         return F.coalesce(lookup + F.lit(1), F.lit(0))
 
     def _code_val(i: int, v):
@@ -1510,9 +1562,7 @@ def with_global_position(df: DataFrame, *keys: str, stats: dict | None = None) -
         rc = f"_gp_rk{i}"
         while rc in bucketed.columns:
             rc += "_"
-        lookup = F.create_map(
-            *[F.lit(x) for v, j in sorted(rmap.items()) for x in (v, j)]
-        )[kcols[i]].cast("long")
+        lookup = _lit_rank_map(rmap)[kcols[i]].cast("long")
         bucketed = bucketed.withColumn(rc, lookup)
         rank_cols.append(rc)
         return F.col(rc)

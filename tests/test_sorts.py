@@ -1140,3 +1140,52 @@ def test_composite_key_fused_stats_single_job(spark):
     assert n_jobs2 == 1, (
         f"reclassification must reuse the fused stats job, ran {n_jobs2}"
     )
+
+
+def test_lit_rank_map_key_types(spark):
+    """r17 (r16 verdict item 6): the rank-lookup map builds from TWO
+    list literals (map_from_arrays) instead of one F.lit per entry.
+    Pins list-literal type inference for every DICT-eligible key type —
+    DateType was the open question that deferred this in r16 — and that
+    lookups agree with the Python dict for present keys and yield NULL
+    for absent ones."""
+    import datetime
+
+    d1, d2 = datetime.date(2020, 1, 2), datetime.date(2021, 3, 4)
+    df = spark.createDataFrame(
+        [("a", 5, d1, 1), ("b", 1 << 40, d2, 2), ("zz", 3, d1, 3)],
+        "s string, l long, d date, i int",
+    )
+    df = (
+        df.withColumn("sh", F.col("i").cast("short"))
+        .withColumn("by", F.col("i").cast("byte"))
+    )
+    cases = {
+        "s": {"a": 0, "b": 1},            # string
+        "l": {3: 0, 5: 1, 1 << 40: 2},    # long incl. beyond int32
+        "d": {d1: 0, d2: 1},              # DateType
+        "i": {1: 0, 3: 1},                # int (absent: 2)
+        "sh": {1: 0, 2: 1, 3: 2},         # short
+        "by": {1: 0, 2: 1, 3: 2},         # byte
+    }
+    for col, rmap in cases.items():
+        got = {
+            r[0]: r[1]
+            for r in df.select(
+                F.col(col), sort_ops._lit_rank_map(rmap)[F.col(col)].cast("long")
+            ).collect()
+        }
+        want = {k: rmap.get(k) for k in got}
+        assert got == want, f"{col}: {got} != {want}"
+
+    # strings that fail the printable-ASCII/no-quote gate take the
+    # F.lit-list fallback — values must still be exact
+    exotic = {"it's": 0, "a\\b": 1, "sn\u00f6": 2, "tab\there": 3}
+    dfx = spark.createDataFrame([(k,) for k in exotic] + [("zz",)], "s string")
+    got = {
+        r[0]: r[1]
+        for r in dfx.select(
+            "s", sort_ops._lit_rank_map(exotic)[F.col("s")].cast("long")
+        ).collect()
+    }
+    assert got == {**exotic, "zz": None}, got
