@@ -257,6 +257,12 @@ def main() -> None:
     }
     if min3_all:
         out["repeats"]["min3_all"] = True
+    # methodology flag (r16 ADVICE): the Python-worker warmup added in
+    # r16 removes cold-daemon fork+import cost from whichever
+    # Arrow-surface query runs first, so first-shot `queries` walls are
+    # not comparable to pre-r16 records for that query — marked in the
+    # record so cross-round tooling can detect the change.
+    out["repeats"]["py_worker_warmup"] = True
     out["queries_min"] = dict(sorted(queries_min.items(), key=lambda kv: kv[1]))
     # full-record-only (stripped from the stdout digest below): the raw
     # per-repeat vectors and the first/last decay ratio per query. A

@@ -251,6 +251,11 @@ def hyperplane_bucket(emb: Column | str, band: int = 0) -> Column:
     if isinstance(emb, str):
         parts = []
         for j, plane in enumerate(_band_signs(band)):
+            # r16 ADVICE: the {s:.1f} render is exact ONLY for ±1.0; a
+            # future sign-family change must fail loudly here rather
+            # than silently mis-round the string path away from the
+            # Column path and the DuckDB twin.
+            assert all(s in (1.0, -1.0) for s in plane), plane
             arr = "array(" + ",".join(f"{s:.1f}D" for s in plane) + ")"
             dot = (
                 f"aggregate(zip_with({emb}, {arr}, (x, s) -> x * s), "

@@ -381,6 +381,11 @@ def test_ivf_kmeans_lazy_checkpoint_dial(spark, sf_dir):
     assert sorted(map(tuple, frames["lazy"][key].values.tolist())) == sorted(
         map(tuple, frames["eager"][key].values.tolist())
     ), "checkpoint laziness must not change results"
-    assert counts["lazy"] < counts["eager"], (
-        f"lazy checkpoint should fold away >=1 job, got {counts}"
+    # r16 ADVICE: the strict `<` pins CURRENT Spark's lazy-localCheckpoint
+    # scheduling (no catch-up job for uncached partitions). The row
+    # equality above is the hard contract; the job count is softened to
+    # <= so a Spark version changing checkpoint job accounting degrades
+    # this to a no-regression check instead of a spurious failure.
+    assert counts["lazy"] <= counts["eager"], (
+        f"lazy checkpoint must never ADD jobs vs eager, got {counts}"
     )
