@@ -78,6 +78,26 @@ def _stream_shuffle(spark):
         else:
             spark.conf.unset(key)
 
+#: (path, mtime, size) → parquet footer schema. The schema batch-read in
+#: stream_events costs a file listing + footer fetch per CALL (~0.1-0.2 s
+#: measured in the r17 drain decomposition, scripts/
+#: probe_stream_drain_decomp.py) and every one of the 11 streaming
+#: queries pays it; the schema is pure file METADATA — memoizing it is
+#: not result caching (no query data is persisted), and the mtime/size
+#: key invalidates the entry whenever the driver regenerates fixtures.
+_SCHEMA_MEMO: dict = {}
+
+
+def _source_schema(spark, path: str):
+    try:
+        key = (path, os.path.getmtime(path), os.path.getsize(path))
+    except OSError:
+        return spark.read.parquet(path).schema  # let Spark raise its error
+    if key not in _SCHEMA_MEMO:
+        _SCHEMA_MEMO[key] = spark.read.parquet(path).schema
+    return _SCHEMA_MEMO[key]
+
+
 def stream_events(spark, sf_dir: str) -> DataFrame:
     """Unbounded view of the events table via the file streaming source
     (≙ the reference's Kafka `source` topic; swap in
@@ -89,7 +109,8 @@ def stream_events(spark, sf_dir: str) -> DataFrame:
     ``ts`` arrives as, ``normalize_timestamps`` — the SAME function the
     batch path uses — converts it to TimestampType, so batch and stream can
     never disagree on time units. The batch read costs one footer fetch at
-    plan time; no data is scanned."""
+    plan time (memoized per (path, mtime, size) — _SCHEMA_MEMO); no data
+    is scanned."""
     from kafka_stream_sorter_spark.sources.parquet import (
         normalize_timestamps,
         table_path,
@@ -99,7 +120,7 @@ def stream_events(spark, sf_dir: str) -> DataFrame:
     # Runtime-settable, so set it here for vanilla (non-get_spark) sessions.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, "events")
-    file_schema = spark.read.parquet(path).schema
+    file_schema = _source_schema(spark, path)
     if os.path.isdir(path):
         # events.parquet shipped as a DIRECTORY of part files (the common
         # parquet layout): stream the directory itself. The single-file

@@ -227,3 +227,31 @@ def test_registered_watermarks_are_the_drain_constant():
         f"({span_days:.1f}d) — the bounded replay would re-enter the "
         "batch-disorder drop regime"
     )
+
+
+def test_source_schema_memo_invalidates_on_mtime(spark, sf_dir, tmp_path):
+    """r17: the stream source's footer-schema read memoizes on
+    (path, mtime, size) — same schema object back within a fixture
+    generation, a fresh read (new entry) after the file changes, and
+    never a stale schema."""
+    import os
+    import shutil
+
+    from kafka_stream_sorter_spark.sources.parquet import table_path
+    from kafka_stream_sorter_spark.streaming import ops
+
+    src = table_path(sf_dir, "events")
+    p = str(tmp_path / "events.parquet")
+    if os.path.isdir(src):
+        shutil.copytree(src, p)
+    else:
+        shutil.copy(src, p)
+    ops._SCHEMA_MEMO.clear()
+    s1 = ops._source_schema(spark, p)
+    assert len(ops._SCHEMA_MEMO) == 1
+    s2 = ops._source_schema(spark, p)
+    assert s2 is s1  # memo hit
+    os.utime(p, (os.path.getatime(p), os.path.getmtime(p) + 10))
+    s3 = ops._source_schema(spark, p)
+    assert len(ops._SCHEMA_MEMO) == 2  # mtime change -> new entry
+    assert s3 == s1  # same file content -> equal schema, freshly read
