@@ -44,15 +44,25 @@ def tokens(text: Column) -> Column:
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: total, distinct, and a BPE-ish subword estimate
     (ceil(chars/4) per token — the standard ~4-chars-per-token heuristic)."""
-    toks = tokens(F.col(text_col))
-    return df.select(
+    # `_toks` projects once in its own select (r17): the single-select
+    # form pasted the tokenize subtree into all three token expressions
+    # (3 tokenizations per row; CollapseProject keeps a non-cheap
+    # multi-referenced column in its own projection — the minhash `_g`
+    # pattern).
+    base = df.select(
+        "doc_id",
+        tokens(F.col(text_col)).alias("_toks"),
+        F.length(text_col).cast("long").alias("n_chars_actual"),
+    )
+    toks = F.col("_toks")
+    return base.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
         F.aggregate(
             toks, F.lit(0).cast("long"), lambda acc, t: acc + F.ceil(F.length(t) / 4.0)
         ).alias("n_subwords_est"),
-        F.length(text_col).cast("long").alias("n_chars_actual"),
+        "n_chars_actual",
     )
 
 
@@ -72,15 +82,27 @@ def bpe_pretokens(text: Column) -> Column:
 def bpe_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Regex-tokenizer counting: total pieces and the alpha/numeric/punct
     split — all JVM-side regexp + filter, no Python."""
-    pieces = bpe_pretokens(F.col(text_col))
-    alpha = F.size(F.filter(pieces, lambda p: p.rlike("^[a-z]+$")))
-    num = F.size(F.filter(pieces, lambda p: p.rlike("^[0-9]+$")))
-    return df.select(
+    # `_pieces` projects once, and each counted filter runs once — the
+    # single-select form re-ran the regex pre-tokenizer 6x per row
+    # (n_pieces, alpha, num, and all three AGAIN inside n_punct) (r17)
+    base = df.select("doc_id", bpe_pretokens(F.col(text_col)).alias("_pieces"))
+    pieces = F.col("_pieces")
+    mid = base.select(
         "doc_id",
-        F.size(pieces).cast("long").alias("n_pieces"),
-        alpha.cast("long").alias("n_alpha"),
-        num.cast("long").alias("n_num"),
-        (F.size(pieces) - alpha - num).cast("long").alias("n_punct"),
+        F.size(pieces).cast("long").alias("_np"),
+        F.size(F.filter(pieces, lambda p: p.rlike("^[a-z]+$")))
+        .cast("long")
+        .alias("_na"),
+        F.size(F.filter(pieces, lambda p: p.rlike("^[0-9]+$")))
+        .cast("long")
+        .alias("_nn"),
+    )
+    return mid.select(
+        "doc_id",
+        F.col("_np").alias("n_pieces"),
+        F.col("_na").alias("n_alpha"),
+        F.col("_nn").alias("n_num"),
+        (F.col("_np") - F.col("_na") - F.col("_nn")).alias("n_punct"),
     )
 
 
@@ -107,11 +129,22 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword / repetition signals, micros-scaled to
     exact BIGINTs so they are cross-engine hashable (functions/numeric.py)."""
     text = F.col(text_col)
-    toks = tokens(text)
+    # `_toks` projects once (r17: the single-select form re-tokenized 6x
+    # per row); the text-derived lengths ride the same first projection
+    base = df.select(
+        "doc_id",
+        tokens(text).alias("_toks"),
+        F.length(text).alias("_nc"),
+        (
+            F.length(text)
+            - F.length(F.regexp_replace(text, f"[^\\w{WS_CLASS}]", ""))
+        ).alias("_punct"),
+    )
+    toks = F.col("_toks")
     n_tok = F.size(toks)
-    n_chars = F.length(text)
+    n_chars = F.col("_nc")
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
-    punct = n_chars - F.length(F.regexp_replace(text, f"[^\\w{WS_CLASS}]", ""))
+    punct = F.col("_punct")
     distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
     # n_tok >= 1 always (split of '' is ['']), but n_chars CAN be 0: an
     # empty-text doc would hit DIVIDE_BY_ZERO under Spark 4's default ANSI
@@ -120,7 +153,7 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     punct_ratio = F.when(
         n_chars > 0, F.floor(punct / n_chars * 1_000_000)
     ).otherwise(F.lit(0))
-    return df.select(
+    return base.select(
         "doc_id",
         n_tok.cast("long").alias("n_tokens"),
         F.floor(n_chars / n_tok * 1000).cast("long").alias("avg_token_len_milli"),
@@ -134,19 +167,34 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language ID: score = marker hits per language; argmax with
     fixed tie order (score desc, language asc). Deterministic; degenerate on
     the synthetic corpus (English-ish vocab) by design of the fixture."""
-    toks = tokens(F.col(text_col))
+    # two projection boundaries (r17): the single-select form pasted the
+    # tokenize+filter subtree of every language's score into `best` and
+    # into every argmax WHEN — ~60 copies of the tokenize subtree in the
+    # executed plan, i.e. ~60 tokenizations + marker scans per row. Now
+    # `_toks` projects once, each score computes once, and the argmax
+    # reads score COLUMNS.
+    base = df.select("doc_id", tokens(F.col(text_col)).alias("_toks"))
 
     def _hits(markers: list[str]) -> Column:
         # closure factory — a default-arg lambda would change the SQL arity
-        return F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("long")
+        return F.size(
+            F.filter(F.col("_toks"), lambda t: t.isin(*markers))
+        ).cast("long")
 
-    scores = {lang: _hits(markers) for lang, markers in LANG_MARKERS.items()}
+    mid = base.select(
+        "doc_id",
+        *[
+            _hits(LANG_MARKERS[lang]).alias(f"score_{lang}")
+            for lang in sorted(LANG_MARKERS)
+        ],
+    )
+    scores = {lang: F.col(f"score_{lang}") for lang in LANG_MARKERS}
     best = F.greatest(*scores.values())
     pred = F.coalesce(
         *[F.when((scores[lang] == best) & (best > 0), F.lit(lang)) for lang in sorted(scores)],
         F.lit("und"),
     )
-    return df.select(
+    return mid.select(
         "doc_id",
         *[scores[lang].alias(f"score_{lang}") for lang in sorted(scores)],
         pred.alias("lang_pred"),
@@ -164,11 +212,18 @@ def fingerprints(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame
         F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1))),
         lambda i: char_poly_hash(F.substring(text, i, k)),
     )
-    return df.select(
+    # `_roll` projects once (r17): min and max each re-ran the whole
+    # rolling-hash transform — every k-gram hashed twice per row
+    base = df.select(
         "doc_id",
         char_poly_hash(text).alias("full_hash"),
-        F.array_min(rolling).alias("min_kgram_hash"),
-        F.array_max(rolling).alias("max_kgram_hash"),
+        rolling.alias("_roll"),
+    )
+    return base.select(
+        "doc_id",
+        "full_hash",
+        F.array_min("_roll").alias("min_kgram_hash"),
+        F.array_max("_roll").alias("max_kgram_hash"),
     )
 
 
@@ -180,7 +235,16 @@ def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     micros-scaled exact integers (functions/numeric.py rationale). Per-row
     cost is O(distinct·total) token comparisons — bounded by document
     length, irrelevant next to the scan at corpus scale."""
-    toks = tokens(F.col(text_col))
+    # The token array projects ONCE as `_toks` in its own select (r17):
+    # the single-select form pasted the tokenize subtree into every
+    # output expression — 16 copies of split(lower(trim(text))) in the
+    # executed plan, including INSIDE the bigram transform's lambda,
+    # where element_at(tokens(text), i) re-tokenized the document per
+    # bigram index (O(n) tokenizations per row). Same projection-
+    # boundary pattern as the r16 minhash `_g` fix: CollapseProject
+    # keeps a non-cheap multi-referenced column in its own projection.
+    base = df.select("doc_id", tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
     n_tok = F.size(toks)
     # modal-token count = longest equal-run in the sorted token array —
     # O(n log n) per row (the naive distinct×filter scan is O(n²), which
@@ -208,16 +272,27 @@ def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
             lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    n_bi = F.size(bigrams)
+    # second boundary: the bigram array and modal count are each read
+    # twice downstream (count + ratio), so they materialize as columns —
+    # the bigram concat runs once per row, not once per reader
+    mid = base.select(
+        "doc_id",
+        n_tok.alias("_ntok"),
+        top_n.alias("_top"),
+        bigrams.alias("_bi"),
+    )
+    n_bi = F.size("_bi")
     dup_bigram = F.when(
         n_bi > 0,
-        F.floor((1 - F.size(F.array_distinct(bigrams)) / n_bi) * 1_000_000),
+        F.floor((1 - F.size(F.array_distinct("_bi")) / n_bi) * 1_000_000),
     ).otherwise(F.lit(0))
-    return df.select(
+    return mid.select(
         "doc_id",
-        n_tok.cast("long").alias("n_tokens"),
-        top_n.cast("long").alias("top_token_count"),
-        F.floor(top_n / n_tok * 1_000_000).cast("long").alias("top_token_ratio_micro"),
+        F.col("_ntok").cast("long").alias("n_tokens"),
+        F.col("_top").cast("long").alias("top_token_count"),
+        F.floor(F.col("_top") / F.col("_ntok") * 1_000_000)
+        .cast("long")
+        .alias("top_token_ratio_micro"),
         dup_bigram.cast("long").alias("dup_bigram_ratio_micro"),
     )
 
