@@ -207,18 +207,34 @@ def _prefix_filtered_jaccard_body(
 
     ga = g.select(F.col("doc_id").alias("doc_a"), F.col("items").alias("items_a"))
     gb = g.select(F.col("doc_id").alias("doc_b"), F.col("items").alias("items_b"))
+    # the intersection projects ONCE (r17): deriving n_union and jaccard
+    # from the same `inter` Column inlined the array_intersect into every
+    # consumer AND the pushed-down threshold filter — 6 set
+    # intersections per candidate pair in the executed plan where 1
+    # suffices (within-bucket candidates are the quadratic term, so
+    # per-candidate work is the thing to minimize). Residual: Catalyst
+    # still pushes the threshold into the JOIN CONDITION (2 intersects
+    # per candidate there — it prefers filtering before materializing
+    # survivors); survivors now pay 3 total instead of 6. Integer/size
+    # arithmetic is unchanged, so jaccard stays the same int/int→double
+    # division the oracle mirrors.
     inter = F.size(F.array_intersect(F.col("items_a"), F.col("items_b")))
-    union = F.size("items_a") + F.size("items_b") - inter
-    jac = inter / union
+    stot = F.size("items_a") + F.size("items_b")
     return (
         cand.join(ga, "doc_a")
         .join(gb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            inter.cast("long").alias("n_common"),
-            union.cast("long").alias("n_union"),
-            jac.alias("jaccard"),
+            inter.alias("_i"),
+            stot.alias("_s"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("_i").cast("long").alias("n_common"),
+            (F.col("_s") - F.col("_i")).cast("long").alias("n_union"),
+            (F.col("_i") / (F.col("_s") - F.col("_i"))).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -336,12 +352,21 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
         .distinct()
     )
     ws = _word_sets(docs).select("doc_id", "words")
+    # same single-intersection projection as _prefix_filtered_jaccard's
+    # verify stage (r17): the one-select form re-ran array_intersect 4x
+    # per candidate (numerator, denominator, and both again in the
+    # pushed-down threshold filter)
     inter = F.size(F.array_intersect(F.col("wa.words"), F.col("wb.words")))
-    union = F.size(F.col("wa.words")) + F.size(F.col("wb.words")) - inter
+    stot = F.size(F.col("wa.words")) + F.size(F.col("wb.words"))
     return (
         cand.join(ws.alias("wa"), F.col("doc_a") == F.col("wa.doc_id"))
         .join(ws.alias("wb"), F.col("doc_b") == F.col("wb.doc_id"))
-        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .select("doc_a", "doc_b", inter.alias("_i"), stot.alias("_s"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("_i") / (F.col("_s") - F.col("_i"))).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 
