@@ -126,10 +126,17 @@ def parse_csv_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
     """
     from kafka_stream_sorter_spark.schemas import KAFKA_RECORD
 
-    parts = F.split(F.col(value_col), ",")
+    # the split array projects ONCE (r17): referencing the same `parts`
+    # Column from every field expression pasted the split into each one —
+    # 4 splits of the line per row in the executed plan where 1 suffices
+    # (CollapseProject keeps a non-cheap multi-referenced column in its
+    # own projection). Catalyst still prunes unused FIELDS; the split
+    # itself is one pass either way.
+    base = lines.select(F.split(F.col(value_col), ",").alias("_parts"))
+    parts = F.col("_parts")
     # field order and types come from the declared record schema — the one
     # place the reference's positional CSV layout is written down
-    return lines.select(
+    return base.select(
         *[
             parts.getItem(i).cast(f.dataType).alias(f.name)
             for i, f in enumerate(KAFKA_RECORD.fields)
