@@ -279,6 +279,12 @@ def main() -> None:
     }
     out["load_avg_at_start"] = load_avg
     out["calib_matmul_sec"] = calib_sec
+    # Provenance: the core count this run actually used (master
+    # local[$SPARK_GRAFT_CPUS]) — without it a low-core record is only
+    # identifiable by filename convention (additions-only field).
+    from kafka_stream_sorter_spark.session import default_parallelism
+
+    out["bench_cpus"] = default_parallelism()
     if "ref_produce" in timings:
         out["ref_generate_rows_per_sec"] = int(ref_rows / max(timings["ref_produce"], 1e-9))
     if slowest_sort is not None:
