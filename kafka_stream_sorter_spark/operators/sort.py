@@ -80,14 +80,23 @@ def _lit_rank_map(rmap: dict):
     import datetime
 
     ks = sorted(rmap)
+    if not ks:
+        # preserve the replaced F.create_map(*[]) contract: a valid empty
+        # map whose lookups are NULL, not a driver crash — current call
+        # sites all guard non-empty, but the fallback keeps the contract
+        return F.create_map()
     vals_sql = "array(" + ",".join(f"{int(rmap[k])}L" for k in ks) + ")"
     k0 = ks[0]
+    # every branch below gates on ALL keys, not just ks[0]: a mixed-type
+    # domain (can't arise from the single-column builders today, but the
+    # map is caller-supplied) must never render int(2.5) -> '2L' silently
     keys_sql = None
     if isinstance(k0, bool):
         keys_sql = None  # bools are not DICT-eligible; lit fallback
     elif isinstance(k0, str):
         if all(
-            k.isascii()
+            isinstance(k, str)
+            and k.isascii()
             and k.isprintable()
             and "'" not in k
             and "\\" not in k
@@ -95,13 +104,21 @@ def _lit_rank_map(rmap: dict):
         ):
             keys_sql = "array(" + ",".join(f"'{k}'" for k in ks) + ")"
     elif isinstance(k0, int):
-        keys_sql = "array(" + ",".join(f"{int(k)}L" for k in ks) + ")"
+        if all(isinstance(k, int) and not isinstance(k, bool) for k in ks):
+            keys_sql = "array(" + ",".join(f"{int(k)}L" for k in ks) + ")"
     elif isinstance(k0, datetime.date) and not isinstance(
         k0, datetime.datetime
     ):
-        keys_sql = (
-            "array(" + ",".join(f"DATE '{k.isoformat()}'" for k in ks) + ")"
-        )
+        if all(
+            isinstance(k, datetime.date)
+            and not isinstance(k, datetime.datetime)
+            for k in ks
+        ):
+            keys_sql = (
+                "array("
+                + ",".join(f"DATE '{k.isoformat()}'" for k in ks)
+                + ")"
+            )
     if keys_sql is not None:
         return F.expr(f"map_from_arrays({keys_sql}, {vals_sql})")
     return F.map_from_arrays(F.lit(ks), F.lit([int(rmap[k]) for k in ks]))

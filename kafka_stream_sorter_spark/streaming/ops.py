@@ -91,6 +91,21 @@ _SCHEMA_MEMO: dict = {}
 def _source_schema(spark, path: str):
     try:
         key = (path, os.path.getmtime(path), os.path.getsize(path))
+        if os.path.isdir(path):
+            # A directory's mtime/size change only on entry add/remove/
+            # rename — an in-place rewrite of a part file (same name, new
+            # bytes; how a fixture regeneration can land) leaves them
+            # untouched. Fold the part files' own (name, mtime, size)
+            # into the key so that rewrite invalidates too. One listdir +
+            # stat per call — still metadata-only and ~1000× cheaper than
+            # the JVM footer read this memo avoids. Fixture layouts are
+            # flat; nested dirs would fall through to Spark's own error.
+            key += tuple(
+                (name, st.st_mtime, st.st_size)
+                for name in sorted(os.listdir(path))
+                if not name.startswith((".", "_"))
+                for st in (os.stat(os.path.join(path, name)),)
+            )
     except OSError:
         return spark.read.parquet(path).schema  # let Spark raise its error
     if key not in _SCHEMA_MEMO:

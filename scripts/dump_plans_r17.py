@@ -1,12 +1,11 @@
 #!/usr/bin/env python
 """Capture .explain("formatted") for named queries into plans/r17/.
 
-Usage: python scripts/dump_plans_r16.py <suffix> <query> [query ...]
-       python scripts/dump_plans_r16.py <suffix> --all-touched
+Usage: python scripts/dump_plans_r17.py <suffix> <query> [query ...]
 
 Writes plans/r17/<query>_<suffix>.txt (suffix = before|after). The judge
 cannot run Spark; these files are the committed evidence for every plan
-claim in OPTIMIZATION_r16.md. Streaming queries execute inside a stream
+claim in OPTIMIZATION_r17.md. Streaming queries execute inside a stream
 drain, so for `stream_*` names this records the batch plan of the DRAINED
 result (the part .explain can see) plus a marker line.
 """
@@ -33,6 +32,9 @@ def main() -> None:
     from kafka_stream_sorter_spark.session import get_spark
 
     spark = get_spark(app_name=f"plans-r17-{suffix}")
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown query names (flags are not supported): {unknown}")
     for name in names:
         fn = QUERIES[name]
         path = os.path.join(OUT, f"{name}_{suffix}.txt")

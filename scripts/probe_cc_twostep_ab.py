@@ -103,7 +103,9 @@ def chain_inputs(n=200_000):
 # warm-up
 spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count().write.format("noop").mode("overwrite").save()
 
-for label, mk in (("lsh_sf0.1", lsh_inputs), ("chain2M", chain_inputs)):
+# (label was "chain2M" when the r17 record was taken — same 200k graph,
+# mislabeled; SCALING.md and OPTIMIZATION_r17.md state the true scale)
+for label, mk in (("lsh_sf0.1", lsh_inputs), ("chain200k", chain_inputs)):
     nodes, edges = mk()
     edges = edges.localCheckpoint()  # identical inputs for every arm/repeat
     nodes = nodes.localCheckpoint()

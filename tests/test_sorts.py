@@ -1101,39 +1101,47 @@ def test_composite_key_fused_stats_single_job(spark):
     # the tracker counts QUERIES (what this pin is about), not stages
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-
-    # low-card string + long: must pack with a rank map, in exactly 1 job
-    rows64 = [(f"s{i % 8:02d}", i) for i in range(n)]
-    df64 = spark.createDataFrame(rows64, "k string, tb long")
-    sample_keys = [(f"s{i:02d}", i) for i in range(4)]
-    bounds = [("s03", 3)]
-    sc.setJobGroup("gp_fused_lowcard", "fused stats job count")
+    # restore AQE even when an assertion fails mid-test: the spark
+    # fixture is session-scoped, so a leaked adaptive=false would change
+    # plans and job counts for every later test in the run
     try:
-        comp, rmaps = sort_ops._composite_key(
-            df64, ("k", "tb"), kcols, sample_keys, bounds
+        # low-card string + long: must pack with a rank map, in exactly
+        # 1 job
+        rows64 = [(f"s{i % 8:02d}", i) for i in range(n)]
+        df64 = spark.createDataFrame(rows64, "k string, tb long")
+        sample_keys = [(f"s{i:02d}", i) for i in range(4)]
+        bounds = [("s03", 3)]
+        sc.setJobGroup("gp_fused_lowcard", "fused stats job count")
+        try:
+            comp, rmaps = sort_ops._composite_key(
+                df64, ("k", "tb"), kcols, sample_keys, bounds
+            )
+        finally:
+            sc.setJobGroup(None, None)
+        n_jobs = len(tracker.getJobIdsForGroup("gp_fused_lowcard"))
+        assert comp is not None and [g["idx"] for g in comp] == [[0, 1]]
+        assert rmaps == {0: {f"s{i:02d}": i for i in range(8)}}
+        assert n_jobs == 1, (
+            f"fused stats pre-work must be 1 job, ran {n_jobs}"
         )
-    finally:
-        sc.setJobGroup(None, None)
-    n_jobs = len(tracker.getJobIdsForGroup("gp_fused_lowcard"))
-    assert comp is not None and [g["idx"] for g in comp] == [[0, 1]]
-    assert rmaps == {0: {f"s{i:02d}": i for i in range(8)}}
-    assert n_jobs == 1, f"fused stats pre-work must be 1 job, ran {n_jobs}"
 
-    # overflow domain: reclassifies str -> wstr and packs via the prefix
-    # window, still exactly 1 job (trivial-injectivity shortcut)
-    rows120 = [(f"s{i % 120:03d}", i) for i in range(n)]
-    df120 = spark.createDataFrame(rows120, "k string, tb long")
-    sample_keys2 = [("s000", 0), ("s001", 1)]
-    bounds2 = [("s001", 1)]
-    info: dict = {}
-    sc.setJobGroup("gp_fused_overflow", "fused reclassify job count")
-    try:
-        comp2, rmaps2 = sort_ops._composite_key(
-            df120, ("k", "tb"), kcols, sample_keys2, bounds2, info=info
-        )
+        # overflow domain: reclassifies str -> wstr and packs via the
+        # prefix window, still exactly 1 job (trivial-injectivity
+        # shortcut)
+        rows120 = [(f"s{i % 120:03d}", i) for i in range(n)]
+        df120 = spark.createDataFrame(rows120, "k string, tb long")
+        sample_keys2 = [("s000", 0), ("s001", 1)]
+        bounds2 = [("s001", 1)]
+        info: dict = {}
+        sc.setJobGroup("gp_fused_overflow", "fused reclassify job count")
+        try:
+            comp2, rmaps2 = sort_ops._composite_key(
+                df120, ("k", "tb"), kcols, sample_keys2, bounds2, info=info
+            )
+        finally:
+            sc.setJobGroup(None, None)
     finally:
-        sc.setJobGroup(None, None)
-    spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
     n_jobs2 = len(tracker.getJobIdsForGroup("gp_fused_overflow"))
     assert comp2 is not None and info.get("wstr_packed_fields") == [0]
     assert rmaps2 == {}

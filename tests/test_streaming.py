@@ -255,3 +255,44 @@ def test_source_schema_memo_invalidates_on_mtime(spark, sf_dir, tmp_path):
     s3 = ops._source_schema(spark, p)
     assert len(ops._SCHEMA_MEMO) == 2  # mtime change -> new entry
     assert s3 == s1  # same file content -> equal schema, freshly read
+
+
+def test_source_schema_memo_invalidates_on_inplace_part_rewrite(
+    spark, sf_dir, tmp_path
+):
+    """r17 review: for a DIRECTORY-layout source, rewriting a part file
+    in place (same name — how a fixture regeneration can land) changes
+    neither the directory's mtime nor its size, so the memo key must
+    fold in the part files' own (name, mtime, size) or it would serve
+    the stale pre-regeneration schema — the exact schema-drift failure
+    the batch footer read exists to prevent."""
+    import os
+    import shutil
+
+    from kafka_stream_sorter_spark.sources.parquet import table_path
+    from kafka_stream_sorter_spark.streaming import ops
+
+    src = table_path(sf_dir, "events")
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    part = d / "part-00000.parquet"
+    if os.path.isdir(src):
+        inner = next(
+            f for f in sorted(os.listdir(src)) if not f.startswith((".", "_"))
+        )
+        shutil.copy(os.path.join(src, inner), part)
+    else:
+        shutil.copy(src, part)
+    p = str(d)
+    ops._SCHEMA_MEMO.clear()
+    s1 = ops._source_schema(spark, p)
+    assert ops._source_schema(spark, p) is s1  # memo hit
+    assert len(ops._SCHEMA_MEMO) == 1
+    # in-place rewrite: same file name, same directory entry set; pin the
+    # DIRECTORY's mtime back so only the part file's own stat changes
+    dir_stat = os.stat(p)
+    os.utime(part, (os.path.getatime(part), os.path.getmtime(part) + 10))
+    os.utime(p, (dir_stat.st_atime, dir_stat.st_mtime))
+    s3 = ops._source_schema(spark, p)
+    assert len(ops._SCHEMA_MEMO) == 2  # part-file change -> new entry
+    assert s3 == s1  # same content -> equal schema, freshly read
